@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual end-to-end smoke driver: exercises the library's public surface
+  * against the real testdata parquet, printing results + physical plans.
+  * Usage: sbt "runMain graft.Smoke [sfDir]" */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.functions.TrText
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = docs.select(
+      col("doc_id"),
+      TrText.normalizeFull(col("text")).as("norm_full"),
+      TrText.normalizeStatic(col("text")).as("norm_static"))
+    out.show(5, 60)
+    out.explain("formatted")
+
+    // Turkish address literals pushed through the same Column surface.
+    spark.createDataset(Seq(
+      "Caferağa Mah., Kadıköy / İstanbul No:12 D:5",
+      "Atatürk MAHALLESİ: 10 sk. / cd. 5 sokagi-3",
+      "B3Blok izmir2 3atatürk"))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("addr")
+      .select(col("addr"),
+        TrText.normalizeFull(col("addr")).as("full"),
+        TrText.normalizeStatic(col("addr")).as("static"))
+      .show(false)
+
+    spark.stop()
+  }
+}
