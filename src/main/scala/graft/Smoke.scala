@@ -29,15 +29,24 @@ object Smoke {
     out.explain("formatted")
 
     // Turkish address literals pushed through the same Column surface.
-    spark.createDataset(Seq(
+    val addrs = spark.createDataset(Seq(
       "Caferağa Mah., Kadıköy / İstanbul No:12 D:5",
       "Atatürk MAHALLESİ: 10 sk. / cd. 5 sokagi-3",
+      "Etlik mh keçiören ankara no:10",
       "B3Blok izmir2 3atatürk"))(org.apache.spark.sql.Encoders.STRING)
       .toDF("addr")
-      .select(col("addr"),
+    addrs.select(col("addr"),
         TrText.normalizeFull(col("addr")).as("full"),
         TrText.normalizeStatic(col("addr")).as("static"))
       .show(false)
+
+    // Gazetteer-constrained hierarchical parse (broadcast index + kernel).
+    import graft.operators.StaticParser
+    import graft.sources.Gazetteer
+    val parsed = StaticParser.parse(addrs, "addr", StaticParser.broadcastIndex(spark))
+    parsed.show(false)
+    parsed.explain("formatted")
+    println(s"[smoke] gazetteer rows=${Gazetteer.rows.size} parsed_rows=${parsed.count()}")
 
     spark.stop()
   }

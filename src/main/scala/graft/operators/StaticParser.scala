@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.functions.TrText
+import graft.sources.Gazetteer
+
+/** Gazetteer-constrained hierarchical address parser, re-expressed Spark-first.
+  *
+  * Reference semantics (src/address_matching/parsing/static_parser.py):
+  *  - P1 tokenize the static-normalized text, keeping ALL tokens (lines 59-61);
+  *  - P3 `_best_match`: scan every start position, test exact token-window
+  *    equality against a first-token inverted index, rank by
+  *    `(window_len, -start_pos)` — longest match, then earliest (120-147);
+  *  - P4 hierarchy: province (unrestricted) → district (restricted to that
+  *    province) → province inferred as *first* province containing the
+  *    district when missing → neighbourhood restricted to (p,d) or the
+  *    district-union (58-97).
+  *
+  * The per-row search is sequential by construction (each stage's restriction
+  * set depends on the previous stage's winner), so it is a `mapPartitions`
+  * kernel over a broadcast [[Gazetteer.Index]] — NOT three joins, which would
+  * change results. Everything around the kernel (normalization, projection)
+  * stays in Catalyst; the kernel itself allocates nothing per row beyond the
+  * token array, and the broadcast index is shared per executor, so the
+  * operator scales embarrassingly (no shuffle at any input size).
+  */
+object StaticParser {
+
+  /** P3 `_best_match`: returns the best (name, start, end) or null fields.
+    * Exact port of the ranking `(L, -i)` with `>` comparison (tuple order). */
+  def bestMatch(
+      tokens: Array[String],
+      index: Gazetteer.TokenIndex,
+      allowed: Option[Set[String]]): Option[(String, Int, Int)] = {
+    var bestL = -1
+    var bestI = 0
+    var bestName: String = null
+    var bestEnd = 0
+    val T = tokens.length
+    var i = 0
+    while (i < T) {
+      index.get(tokens(i)) match {
+        case Some(cands) =>
+          var c = 0
+          while (c < cands.length) {
+            val (candToks, name) = cands(c)
+            if (allowed.forall(_.contains(name))) {
+              val L = candToks.length
+              if (i + L <= T) {
+                var k = 0
+                var eq = true
+                while (eq && k < L) { eq = tokens(i + k) == candToks(k); k += 1 }
+                // rank_key = (L, -i); strictly greater wins (ref line 143-146)
+                if (eq && (bestName == null || L > bestL || (L == bestL && -i > -bestI))) {
+                  bestL = L; bestI = i; bestName = name; bestEnd = i + L
+                }
+              }
+            }
+            c += 1
+          }
+        case None =>
+      }
+      i += 1
+    }
+    if (bestName == null) None else Some((bestName, bestI, bestEnd))
+  }
+
+  /** P4 `parse` for one already-normalized token array. */
+  def parseTokens(tokens: Array[String], idx: Gazetteer.Index)
+      : (Option[String], Option[String], Option[String]) = {
+    val prov0 = bestMatch(tokens, idx.provIndex, None).map(_._1)
+
+    val allowedDists = prov0.map(p => idx.provToDistricts.getOrElse(p, Set.empty))
+    val dist = bestMatch(tokens, idx.distIndex, allowedDists).map(_._1)
+
+    val prov = prov0.orElse(dist.flatMap(idx.distToFirstProv.get))
+
+    val allowedNbhds: Option[Set[String]] = dist.map { d =>
+      prov match {
+        case Some(p) => idx.pairToNbhds.getOrElse((p, d), Set.empty)
+        case None    => idx.distToNbhdUnion.getOrElse(d, Set.empty)
+      }
+    }
+    val nbhd = bestMatch(tokens, idx.nbhdIndex, allowedNbhds).map(_._1)
+    (prov, dist, nbhd)
+  }
+
+  /** Parse a raw string (normalizes first) — kernel form for tests/other kernels. */
+  def parseOne(raw: String, idx: Gazetteer.Index)
+      : (Option[String], Option[String], Option[String]) =
+    parseTokens(TrText.normalizeStaticS(raw).split(" ").filter(_.nonEmpty), idx)
+
+  /** Dataset operator: adds `province`/`district`/`neighbourhood` columns
+    * parsed from `textCol`. Normalization runs in Catalyst (codegen'd); the
+    * sequential hierarchy runs in one mapPartitions kernel over the broadcast
+    * index. */
+  def parse(df: DataFrame, textCol: String, bIdx: Broadcast[Gazetteer.Index]): DataFrame = {
+    val normCol = "__graft_norm"
+    val withNorm = df.withColumn(normCol, TrText.normalizeStatic(col(textCol)))
+    val inSchema = withNorm.schema
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("province", StringType, nullable = true),
+      StructField("district", StringType, nullable = true),
+      StructField("neighbourhood", StringType, nullable = true)))
+    val normPos = inSchema.fieldIndex(normCol)
+    val keepN = df.schema.fields.length
+
+    val enc = Encoders.row(outSchema)
+    withNorm.mapPartitions { rows =>
+      val idx = bIdx.value
+      rows.map { r =>
+        val tokens = {
+          val n = r.getString(normPos)
+          if (n == null) Array.empty[String] else n.split(" ").filter(_.nonEmpty)
+        }
+        val (p, d, nb) = parseTokens(tokens, idx)
+        val vals = new Array[Any](keepN + 3)
+        var i = 0
+        while (i < keepN) { vals(i) = r.get(i); i += 1 }
+        vals(keepN) = p.orNull
+        vals(keepN + 1) = d.orNull
+        vals(keepN + 2) = nb.orNull
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }(enc)
+  }
+
+  /** Convenience: broadcast the default synthesized gazetteer index. */
+  def broadcastIndex(spark: SparkSession): Broadcast[Gazetteer.Index] =
+    spark.sparkContext.broadcast(Gazetteer.buildIndex())
+}

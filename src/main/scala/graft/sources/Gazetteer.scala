@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TrText
+
+/** One gazetteer row, keys pre-normalized with the static pipeline
+  * (ref data/ptt_data/map.py:129-155: every key runs through
+  * `normalize_static_parser`; standalone `mah` token stripped from
+  * neighbourhood names, map.py:211-215). */
+case class GazRow(province: String, district: String, neighbourhood: String, postcode: String)
+
+/** Deterministic synthesized gazetteer with the shape of the reference's PTT
+  * table `(il, ilçe, semt_bucak_belde, Mahalle, PK)` (ref data/ptt_data/map.py:82-88).
+  *
+  * Seed data is the reference's own public fallback pools
+  * (data/synth/config/general_config.py:11-41) — 6 provinces, 18 districts,
+  * 45 neighbourhoods — with deterministic province-prefixed postcodes. No
+  * external data; the sandbox can't read the xlsx and doesn't need to: the
+  * parser's semantics are fully determined by the normalized key tree.
+  *
+  * At real scale the gazetteer is still broadcast-sized (73k rows in the
+  * reference ≪ the 10 MB broadcast threshold), so every lookup the reference
+  * does via in-process hash maps maps to a broadcast hash join / broadcast
+  * map here — never a shuffle.
+  */
+object Gazetteer {
+
+  /** Raw (un-normalized) pools, verbatim from the reference's fallback config. */
+  val RawPools: Seq[(String, String, Seq[String])] = Seq(
+    ("İzmir", "Bornova", Seq("Kazımdirik", "Erzene", "Mevlana", "Atatürk")),
+    ("İzmir", "Karşıyaka", Seq("Bostanlı", "Mavikent", "İmbatlı")),
+    ("İzmir", "Çeşme", Seq("16 Eylül", "İnönü", "Alaçatı")),
+    ("İzmir", "Konak", Seq("Alsancak", "Güzelyalı")),
+    ("İzmir", "Buca", Seq("Kuruçeşme", "İnönü")),
+    ("İstanbul", "Kadıköy", Seq("Caferağa", "Osmanağa", "Moda", "Acıbadem")),
+    ("İstanbul", "Beşiktaş", Seq("Etiler", "Levent", "Gayrettepe")),
+    ("İstanbul", "Üsküdar", Seq("Altunizade", "Beylerbeyi")),
+    ("Ankara", "Çankaya", Seq("Bahçelievler", "Ayrancı", "Kızılay")),
+    ("Ankara", "Keçiören", Seq("Etlik", "Kuşcağız")),
+    ("Ankara", "Yenimahalle", Seq("Demetevler", "Ragıp Tüzün")),
+    ("Manisa", "Yunusemre", Seq("Keçiliköy")),
+    ("Manisa", "Şehzadeler", Seq("Adnan Menderes")),
+    ("Aydın", "Efeler", Seq("Zafer", "Güzelhisar")),
+    ("Aydın", "Kuşadası", Seq("İkiçeşmelik")),
+    ("Muğla", "Bodrum", Seq("Yalıkavak", "Gümbet")),
+    ("Muğla", "Fethiye", Seq("Taşyaka", "Karagözler")),
+    ("Muğla", "Menteşe", Seq("Kötekli", "Emirbeyazıt")),
+  )
+
+  /** Official-style province→postcode prefixes for the pool provinces. */
+  val ProvincePrefix: Map[String, String] = Map(
+    "İzmir" -> "35", "İstanbul" -> "34", "Ankara" -> "06",
+    "Manisa" -> "45", "Aydın" -> "09", "Muğla" -> "48")
+
+  /** G3: strip tokens that are exactly `mah` (keeps `mahalle(si)`),
+    * ref data/ptt_data/map.py:211-215. */
+  def stripStandaloneMah(s: String): String =
+    s.split(" ").filter(_ != "mah").mkString(" ")
+
+  /** The normalized gazetteer rows, in deterministic insertion order (this
+    * order defines "first province containing district", ref
+    * static_parser.py:171-180 + SURVEY.md §2.2 P6). */
+  lazy val rows: Seq[GazRow] =
+    RawPools.zipWithIndex.flatMap { case ((prov, dist, nbhds), di) =>
+      nbhds.zipWithIndex.map { case (n, ni) =>
+        val p = TrText.normalizeStaticS(prov)
+        val d = TrText.normalizeStaticS(dist)
+        val nb = stripStandaloneMah(TrText.normalizeStaticS(n))
+        val pc = ProvincePrefix(prov) + f"${(di % 10) * 100 + ni * 10}%03d"
+        GazRow(p, d, nb, pc)
+      }
+    }
+
+  /** G1/G2: the gazetteer as a DataFrame (tiny ⇒ broadcast everywhere). */
+  def dataFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  // ------------------------- G5–G9 query operators -------------------------
+  // Relational forms of the reference's lookup API (data/ptt_data/map.py:224-287).
+  // Each takes the gazetteer DataFrame so callers can substitute a full-scale
+  // table; predicates push down to the scan.
+
+  /** G5: distinct provinces. */
+  def provinces(gaz: DataFrame): DataFrame =
+    gaz.select("province").distinct().orderBy("province")
+
+  /** G5: districts of a province. */
+  def districtsOf(gaz: DataFrame, province: String): DataFrame =
+    gaz.filter(col("province") === province).select("district").distinct().orderBy("district")
+
+  /** G6: neighbourhoods, 4 restriction modes (ref map.py:236-268). */
+  def neighbourhoodsOf(gaz: DataFrame, province: Option[String], district: Option[String]): DataFrame = {
+    val base = (province, district) match {
+      case (Some(p), Some(d)) => gaz.filter(col("province") === p && col("district") === d)
+      case (Some(p), None)    => gaz.filter(col("province") === p)
+      case (None, Some(d))    => gaz.filter(col("district") === d)
+      case (None, None)       => gaz
+    }
+    base.select("neighbourhood").distinct().orderBy("neighbourhood")
+  }
+
+  /** G7: per-province district/neighbourhood counts (ref map.py:271-277). */
+  def adminCounts(gaz: DataFrame): DataFrame =
+    gaz.groupBy("province").agg(
+      countDistinct("district").as("n_districts"),
+      countDistinct(struct(col("district"), col("neighbourhood"))).as("n_neighbourhoods"))
+      .orderBy("province")
+
+  /** G8: districts that appear in more than one province (ref map.py:279-287). */
+  def duplicateDistrictsAcrossProvinces(gaz: DataFrame): DataFrame =
+    gaz.groupBy("district").agg(collect_set("province").as("provinces"))
+      .filter(size(col("provinces")) > 1)
+      .select(col("district"), array_sort(col("provinces")).as("provinces"))
+      .orderBy("district")
+
+  /** G9: read-only view restricted to a set of provinces (ref map.py:314-337). */
+  def subsetView(gaz: DataFrame, wanted: Seq[String]): DataFrame =
+    gaz.filter(col("province").isin(wanted: _*))
+
+  // ----------------------- broadcastable parser index -----------------------
+
+  /** First-token inverted index: token → candidates (token_list, full_name),
+    * sorted by token-length desc (ref static_parser.py:149-162). */
+  type TokenIndex = Map[String, Array[(Array[String], String)]]
+
+  /** All broadcast state the parse kernel needs; built once on the driver from
+    * the (tiny) gazetteer and shipped via `sparkContext.broadcast`. */
+  case class Index(
+      provIndex: TokenIndex,
+      distIndex: TokenIndex,
+      nbhdIndex: TokenIndex,
+      provToDistricts: Map[String, Set[String]],
+      distToFirstProv: Map[String, String],
+      pairToNbhds: Map[(String, String), Set[String]],
+      distToNbhdUnion: Map[String, Set[String]]) extends Serializable
+
+  def buildTokenIndex(names: Iterable[String]): TokenIndex =
+    names.toSeq.distinct.flatMap { name =>
+      val toks = name.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None else Some(toks(0) -> (toks, name))
+    }.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sortBy { case (tk, n) => (-tk.length, n) }.toArray }
+
+  /** Build the parser index from gazetteer rows (driver-side; rows are
+    * broadcast-sized by design — see class doc). */
+  def buildIndex(rs: Seq[GazRow] = rows): Index = {
+    val provs = rs.map(_.province).distinct
+    val dists = rs.map(_.district).distinct
+    val nbhds = rs.map(_.neighbourhood).distinct
+    Index(
+      provIndex = buildTokenIndex(provs),
+      distIndex = buildTokenIndex(dists),
+      nbhdIndex = buildTokenIndex(nbhds),
+      provToDistricts = rs.groupBy(_.province).map { case (p, g) => p -> g.map(_.district).toSet },
+      distToFirstProv = {
+        // first province containing the district, by gazetteer row order (P6)
+        val m = scala.collection.mutable.LinkedHashMap[String, String]()
+        rs.foreach(r => if (!m.contains(r.district)) m(r.district) = r.province)
+        m.toMap
+      },
+      pairToNbhds = rs.groupBy(r => (r.province, r.district))
+        .map { case (k, g) => k -> g.map(_.neighbourhood).toSet },
+      distToNbhdUnion = rs.groupBy(_.district).map { case (d, g) => d -> g.map(_.neighbourhood).toSet })
+  }
+}
