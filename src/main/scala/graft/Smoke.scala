@@ -45,8 +45,18 @@ object Smoke {
     import graft.sources.Gazetteer
     val parsed = StaticParser.parse(addrs, "addr", StaticParser.broadcastIndex(spark))
     parsed.show(false)
-    parsed.explain("formatted")
     println(s"[smoke] gazetteer rows=${Gazetteer.rows.size} parsed_rows=${parsed.count()}")
+
+    // Full record-linkage pipeline on synthesized pages (the flagship path):
+    // synthesize → extract → normalize → block → pair → score → cluster.
+    import graft.operators.Linkage
+    import graft.sources.Pages
+    val pages = Pages.synthesize(spark, 3000, seed = 42L).toDF()
+    val ents = Linkage.entities(pages, StaticParser.broadcastIndex(spark))
+    ents.show(8, false)
+    val nClusters = ents.select("entity_id").distinct().count()
+    println(s"[smoke] pages=3000 clusters=$nClusters (expect ~1000)")
+    ents.explain("formatted")
 
     spark.stop()
   }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocking-key derivation + skew-salted candidate-pair self-join.
+  *
+  * North-rule operator (BASELINE.json north_star): block on composite keys
+  * (postcode prefix + phonetic street token via Soundex), with salted keys for
+  * skewed blocks. Absent in the reference — designed from the meta-blocking /
+  * set-similarity-join literature (see PAPERS.md: SparkER EDBT'19) — but its
+  * hand-built analogue is the reference's first-token inverted index
+  * (static_parser.py:149-162), which is exactly a blocking structure.
+  *
+  * Scale design: a plain self-join on `block_key` dies at web scale the moment
+  * one block is pathological (a common postcode+street ⇒ quadratic pairs in
+  * ONE task; AQE can split skewed join partitions but not the quadratic
+  * growth inside a single key). The salted triangle join below splits each
+  * oversized block of size c into s = ceil(c/maxBlock) buckets and fans its
+  * pair space over the s·(s+1)/2 (i,j) bucket-pair tasks, so the largest task
+  * is O(maxBlock²) regardless of skew. Normal-sized blocks keep s = 1 and pay
+  * nothing extra.
+  */
+object Blocking {
+
+  /** Canonical scoring/blocking text: full canon pipeline + ASCII fold, so
+    * every keyword-variant surface form collapses to the same tokens. */
+  def blockNorm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(graft.functions.TrText.normalizeFull(c), "ıöüğşç", "iougsc")
+
+  /** 5-digit postcode token (not part of a longer digit run). */
+  def postcode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(c, "(?<!\\d)(\\d{5})(?!\\d)", 1)
+
+  /** Street-name token: the token immediately before the canonical `sk`/`cad`
+    * indicator in the canon-normalized text (empty when absent). */
+  def streetToken(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(c, " ")
+    val posSk = array_position(toks, "sk")
+    val posCad = array_position(toks, "cad")
+    val pos = when(posSk > 0 && (posCad === 0 || posSk < posCad), posSk)
+      .when(posCad > 0, posCad).otherwise(lit(0))
+    when(pos > 1, element_at(toks, (pos - 1).cast("int"))).otherwise(lit(""))
+  }
+
+  /** Neighbourhood-name token: the token immediately before canonical `mah`. */
+  def nbhdToken(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(c, " ")
+    val pos = array_position(toks, "mah")
+    when(pos > 1, element_at(toks, (pos - 1).cast("int"))).otherwise(lit(""))
+  }
+
+  /** Composite block key: postcode prefix (3 digits) + Soundex of the street
+    * token, falling back to the neighbourhood token when no street exists.
+    * Both building blocks are Spark built-ins (codegen'd). */
+  def blockKey(normCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val phon = when(streetToken(normCol) =!= "", soundex(streetToken(normCol)))
+      .otherwise(soundex(nbhdToken(normCol)))
+    concat_ws("_", substring(postcode(normCol), 1, 3), phon)
+  }
+
+  /** Skew-salted candidate-pair self-join.
+    *
+    * @param df          input with one row per record
+    * @param keyCol      blocking-key column name
+    * @param idCol       unique record id column name (orders pairs)
+    * @param payloadCols extra columns carried to both sides (suffixed _a/_b)
+    * @param maxBlock    target max records per salt bucket
+    * @return one row per unordered candidate pair: (block_key, <id>_a, <id>_b, payloads)
+    */
+  def candidatePairs(df: DataFrame, keyCol: String, idCol: String,
+                     payloadCols: Seq[String], maxBlock: Int = 1000): DataFrame = {
+    val cols = Seq(col(keyCol).as("bk"), col(idCol).as("id")) ++ payloadCols.map(col)
+    val rows = df.select(cols: _*).filter(col("bk").isNotNull && col("bk") =!= "")
+
+    // Per-block salt-bucket count s = ceil(count / maxBlock); the counts table
+    // is one row per distinct block — tiny relative to the data — and the join
+    // back is key-colocated with the pair join that follows.
+    val counts = rows.groupBy("bk")
+      .agg(ceil(count(lit(1)).cast("double") / maxBlock).cast("int").as("s"))
+    val salted = rows.join(counts, "bk")
+      .withColumn("salt", pmod(xxhash64(col("id")), col("s")).cast("int"))
+
+    // Triangle fan-out: left emits (i=salt, j) for j in [salt, s); right emits
+    // (i, j=salt) for i in [0, salt]. Each unordered pair meets in exactly one
+    // (bk, i, j) task; equal-salt duplicates are removed by the id order test.
+    val left = salted
+      .withColumn("i", col("salt"))
+      .withColumn("j", explode(sequence(col("salt"), col("s") - 1)))
+      .drop("s", "salt")
+    val right = salted
+      .withColumn("j", col("salt"))
+      .withColumn("i", explode(sequence(lit(0), col("salt"))))
+      .drop("s", "salt")
+
+    val lRen = left.select(Seq(col("bk"), col("i"), col("j"), col("id").as(s"${idCol}_a")) ++
+      payloadCols.map(p => col(p).as(s"${p}_a")): _*)
+    val rRen = right.select(Seq(col("bk"), col("i"), col("j"), col("id").as(s"${idCol}_b")) ++
+      payloadCols.map(p => col(p).as(s"${p}_b")): _*)
+
+    lRen.join(rRen, Seq("bk", "i", "j"))
+      .filter(col("i") =!= col("j") || col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .drop("i", "j")
+      .withColumnRenamed("bk", "block_key")
+  }
+}

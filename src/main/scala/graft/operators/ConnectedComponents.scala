@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative DataFrame-based connected components via alternating
+  * large-star / small-star (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14 — see PAPERS.md). North-rule operator;
+  * the reference has no clustering at all (its `matching/` module is an
+  * empty stub, SURVEY.md §0).
+  *
+  * Everything is expressed as groupBy/min + join — no collect_set, so no
+  * per-node neighbor list ever materializes in one task (a celebrity node
+  * with 10^8 neighbors would OOM any list-based formulation). Convergence is
+  * O(log n) rounds; each round shuffles the (shrinking) edge set.
+  * `localCheckpoint` after each round truncates lineage — without it the
+  * plan doubles every iteration and the driver dies on plan compilation
+  * long before the data hurts.
+  */
+object ConnectedComponents {
+
+  /** large-star: for every node u, attach all strictly-greater neighbours to
+    * m(u) = min(Γ(u) ∪ u). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val minN = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    sym.filter(col("dst") > col("src"))
+      .join(minN, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** small-star: orient edges to (u ≥ v); attach each smaller neighbour and u
+    * itself to m(u) = min of the smaller neighbours. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val minN = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+    oriented.join(minN, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(minN.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Order-free fingerprint of an edge set, used for the convergence test
+    * (one small aggregate per round — no edge-set comparison join). */
+  private def fingerprint(edges: DataFrame): (Long, Long) = {
+    // bit_xor: order-free and overflow-free under ANSI mode (sum of hashes
+    // overflows Long); valid as a set fingerprint because edges are distinct.
+    val r = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** @param edges DataFrame with numeric `src`, `dst` columns (undirected).
+    * @return DataFrame (id, component) covering every node that appears in
+    *         `edges`; `component` is the minimum node id of the component. */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var fp = fingerprint(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      e = next
+      it += 1
+    }
+    // Converged state is a star per component: (member, root). Roots appear
+    // only on the dst side; add their self-mapping.
+    val members = e.select(col("src").as("id"), col("dst").as("component"))
+    val roots = e.select(col("dst").as("id"), col("dst").as("component")).distinct()
+    members.union(roots).distinct()
+  }
+}

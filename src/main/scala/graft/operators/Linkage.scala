@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Gazetteer
+
+/** End-to-end record-linkage pipeline over the pages table
+  * (BASELINE.json north_star): extract → normalize → parse → block →
+  * score → cluster → entity ids.
+  *
+  * Stage layout and scale posture:
+  *  - extract/normalize/block-key: pure Catalyst projections (codegen'd, no
+  *    shuffle, predicate/column pruning reach the scan);
+  *  - candidate pairs: one key-partitioned self-join, skew-salted ([[Blocking]]);
+  *  - scoring: mapPartitions kernel, linear in pairs ([[Scoring]]);
+  *  - clustering: O(log n) alternating-star rounds ([[ConnectedComponents]]);
+  *  - parse enrichment: broadcast-index kernel ([[StaticParser]]), no shuffle.
+  */
+object Linkage {
+
+  case class Config(
+      threshold: Double = 0.85,
+      maxBlock: Int = 1000,
+      extractPattern: String = "(?i)adres\\s*:\\s*(.*?)(?=\\s+tel\\s*:|$)")
+
+  /** Deterministic extraction of the address-bearing span from page text.
+    * Per-row invariant (BASELINE.json input_hint): byte-identical extracted
+    * text per url across runs — guaranteed because this is a pure projection
+    * of `text`. */
+  def extract(pages: DataFrame, cfg: Config = Config()): DataFrame =
+    pages.select(
+      col("url"),
+      col("warc_ts"),
+      regexp_extract(col("text"), cfg.extractPattern, 1).as("extracted"))
+
+  /** Canonical normalized text + blocking key + stable 64-bit node id. */
+  def prepare(pages: DataFrame, cfg: Config = Config()): DataFrame =
+    extract(pages, cfg)
+      .withColumn("norm", Blocking.blockNorm(col("extracted")))
+      .withColumn("block_key", Blocking.blockKey(col("norm")))
+      .withColumn("node_id", xxhash64(col("url")))
+
+  /** Candidate pairs at shared blocking keys (skew-salted self-join). */
+  def candidates(prepared: DataFrame, cfg: Config = Config()): DataFrame =
+    Blocking.candidatePairs(prepared, "block_key", "url",
+      payloadCols = Seq("norm"), maxBlock = cfg.maxBlock)
+
+  /** Scored candidate pairs. */
+  def scored(prepared: DataFrame, cfg: Config = Config()): DataFrame =
+    Scoring.scoreDF(candidates(prepared, cfg), cfg.threshold)
+
+  /** Full pipeline → one row per url with its entity id and parsed admin
+    * hierarchy. Unmatched urls become singleton entities (their own node id). */
+  def entities(pages: DataFrame, bIdx: Broadcast[Gazetteer.Index],
+               cfg: Config = Config()): DataFrame = {
+    val prepared = prepare(pages, cfg).persist()
+    val sc = scored(prepared, cfg)
+    // node id is a pure function of url — recomputed, not carried through the
+    // pair join (smaller shuffle payload).
+    val edges = sc.filter(col("is_match"))
+      .select(xxhash64(col("url_a")).as("src"), xxhash64(col("url_b")).as("dst"))
+    val comps = ConnectedComponents.run(edges)
+
+    val withEntity = prepared
+      .join(comps.withColumnRenamed("id", "node_id"), Seq("node_id"), "left")
+      .withColumn("entity_id", coalesce(col("component"), col("node_id")))
+      .select("url", "extracted", "entity_id")
+
+    val parsed = StaticParser.parse(withEntity, "extracted", bIdx)
+    prepared.unpersist()
+    parsed.select("url", "entity_id", "province", "district", "neighbourhood")
+  }
+}

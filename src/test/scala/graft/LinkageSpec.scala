@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Blocking, ConnectedComponents, Linkage, Scoring, StaticParser}
+import graft.sources.Pages
+
+/** The north-rule gates: pairwise F1 ≥ 0.99 on labeled pairs at shared
+  * blocking keys; byte-identical extracted text per url; cluster sanity. */
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val N = 1800L // 600 entities × 3 variants
+  lazy val pages = Pages.synthesize(spark, N, seed = 42L).toDF().persist()
+
+  test("pages synthesis is deterministic and well-formed") {
+    val again = Pages.synthesize(spark, N, seed = 42L).toDF()
+    assert(pages.count() == N)
+    assert(again.select(md5(col("text"))).as[String].collect().sorted.sameElements(
+      pages.select(md5(col("text"))).as[String].collect().sorted))
+    assert(pages.select("url").distinct().count() == N)
+    assert(pages.filter(col("lang") === "tr").count() == N)
+  }
+
+  test("extraction: byte-identical per url, non-empty, address-bearing") {
+    val ex = Linkage.extract(pages)
+    assert(ex.filter(length(col("extracted")) > 0).count() == N)
+    // determinism across independent runs
+    val a = Linkage.extract(pages).select("url", "extracted")
+    val b = Linkage.extract(Pages.synthesize(spark, N, 42L).toDF()).select("url", "extracted")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("same-entity pages share a blocking key") {
+    val prep = Linkage.prepare(pages)
+      .withColumn("gold", Pages.goldEntityId(col("url")))
+    val span = prep.groupBy("gold").agg(countDistinct("block_key").as("nk")).persist()
+    // every variant of an entity derives the same composite key
+    assert(span.filter(col("nk") =!= 1).count() == 0)
+    span.unpersist()
+  }
+
+  test("pairwise F1 >= 0.99 on labeled pairs at shared blocking keys") {
+    val prep = Linkage.prepare(pages)
+    val sc = Linkage.scored(prep).persist()
+    val labeled = sc
+      .withColumn("gold_a", Pages.goldEntityId(col("url_a")))
+      .withColumn("gold_b", Pages.goldEntityId(col("url_b")))
+      .withColumn("is_pos", col("gold_a") === col("gold_b"))
+    val agg = labeled.agg(
+      sum(when(col("is_pos") && col("is_match"), 1).otherwise(0)).as("tp"),
+      sum(when(!col("is_pos") && col("is_match"), 1).otherwise(0)).as("fp"),
+      sum(when(col("is_pos") && !col("is_match"), 1).otherwise(0)).as("fn"),
+      count(lit(1)).as("n")).head()
+    val (tp, fp, fn, n) = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val p = tp.toDouble / (tp + fp)
+    val r = tp.toDouble / (tp + fn)
+    val f1 = 2 * p * r / (p + r)
+    info(f"pairs=$n tp=$tp fp=$fp fn=$fn precision=$p%.4f recall=$r%.4f f1=$f1%.4f")
+    // meaningful gate needs both classes present among candidate pairs
+    assert(tp + fn >= 1000, s"too few positive labeled pairs: ${tp + fn}")
+    assert(fp + (n - tp - fp - fn) >= 50, "no negative labeled pairs at shared keys")
+    assert(f1 >= 0.99, f"pairwise F1 $f1%.4f < 0.99 (p=$p%.4f r=$r%.4f)")
+    sc.unpersist()
+  }
+
+  test("clustering: clusters are pure and complete wrt gold entities") {
+    val idx = StaticParser.broadcastIndex(spark)
+    val ents = Linkage.entities(pages, idx).persist()
+    assert(ents.count() == N)
+    val withGold = ents.withColumn("gold", Pages.goldEntityId(col("url")))
+    // purity: no predicted entity spans two gold entities
+    val impure = withGold.groupBy("entity_id").agg(countDistinct("gold").as("ng"))
+      .filter(col("ng") > 1).count()
+    // completeness: variants of one gold entity land in one cluster
+    val split = withGold.groupBy("gold").agg(countDistinct("entity_id").as("ne"))
+      .filter(col("ne") > 1).count()
+    val nGold = withGold.select("gold").distinct().count()
+    info(s"gold=$nGold impure=$impure split=$split")
+    assert(impure == 0, s"$impure merged clusters")
+    assert(split <= (nGold * 0.01).ceil.toLong, s"$split split entities of $nGold")
+    ents.unpersist()
+  }
+
+  test("connected components: known graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 10L), (4L, 5L), (5L, 6L), (6L, 4L))
+      .toDF("src", "dst")
+    val comps = ConnectedComponents.run(edges)
+    val m = comps.as[(Long, Long)].collect().toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(7L) == 7L && m(8L) == 7L)
+    assert(m(4L) == 4L && m(5L) == 4L && m(6L) == 4L)
+    assert(!m.contains(10L) || m(10L) == 10L) // self-loop dropped
+  }
+
+  test("salted candidate pairs equal unsalted pairs (skew correctness)") {
+    val df = (0 until 300).map(i => (s"id$i%03d".format(i), s"k${i % 3}", s"payload$i"))
+      .toDF("url", "block_key", "norm")
+    def pairSet(maxBlock: Int): Set[(String, String)] =
+      Blocking.candidatePairs(df, "block_key", "url", Seq("norm"), maxBlock)
+        .select(least(col("url_a"), col("url_b")), greatest(col("url_a"), col("url_b")))
+        .as[(String, String)].collect().toSet
+    val unsalted = pairSet(maxBlock = 100000) // s = 1 everywhere
+    val salted = pairSet(maxBlock = 10)       // s = 10 per block
+    assert(unsalted.nonEmpty)
+    assert(salted == unsalted, s"salted=${salted.size} unsalted=${unsalted.size}")
+  }
+
+  test("scoring metrics: reference values") {
+    assert(Scoring.jaroWinkler("martha", "marhta") > 0.95)
+    assert(math.abs(Scoring.jaro("dixon", "dicksonx") - 0.76666) < 1e-4)
+    assert(Scoring.levenshtein("kitten", "sitting") == 3)
+    assert(Scoring.tokenJaccard(Array("a", "b", "c"), Array("b", "c", "d")) == 0.5)
+    assert(Scoring.jaroWinkler("", "") == 1.0)
+    assert(Scoring.levSim("", "") == 1.0)
+  }
+}
