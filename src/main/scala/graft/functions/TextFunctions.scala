@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting, and
+  * token-with-offset explosion (the reference's E1 operator,
+  * ner_address_parser.py:53-61). All pure Catalyst built-ins — codegen'd,
+  * shuffle-free, and pushdown-friendly.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty tokens dropped). */
+  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** E1 `whitespace_tokens_with_offsets`: array<struct<tok,start,end>> with
+    * character offsets into the ORIGINAL string, computed by scanning for
+    * each token's position (running sum via aggregate — no UDF). */
+  def tokensWithOffsets(c: Column): Column = {
+    // aggregate over tokens, carrying (pos, acc array); each step finds the
+    // token at/after pos via instr on the remaining suffix.
+    val toks = tokens(c)
+    aggregate(
+      toks,
+      struct(lit(0).cast("int").as("pos"),
+        expr("CAST(array() AS array<struct<tok:string,start:int,end:int>>)").as("out")),
+      (acc, t) => {
+        val rel = instr(substring(c, acc.getField("pos") + 1, lit(1000000)), t)
+        val start = acc.getField("pos") + rel - 1
+        val endp = (start + length(t)).cast("int")
+        struct(endp.as("pos"),
+          array_append(acc.getField("out"),
+            struct(t.as("tok"), start.cast("int").as("start"), endp.as("end"))).as("out"))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** Token count: whitespace tokens. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-unit count: alpha runs + digit runs + single other
+    * non-space chars (a cheap, deterministic proxy for tokenizer load). */
+  def subwordCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Tiny English stopword list for the language-ID heuristic. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it", "on", "for",
+    "with", "as", "at", "by", "this", "that", "be", "are")
+
+  /** Turkish stopword/indicator list (reference-domain twin). */
+  val TrStopwords: Seq[String] = Seq(
+    "ve", "bir", "bu", "da", "de", "ile", "mah", "mahallesi", "cadde", "sokak",
+    "no", "kat", "daire", "adres", "icin", "gibi")
+
+  private def stopRatio(c: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(c))
+    val stopList = array(words.map(lit): _*)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(stopList, t))) * lit(1.0) / size(toks))
+  }
+
+  /** n-gram-free stopword-ratio language ID: returns `en`, `tr`, or `und`. */
+  def langId(c: Column): Column = {
+    val en = stopRatio(c, EnStopwords)
+    val tr = stopRatio(c, TrStopwords)
+    when(en >= tr && en > 0.03, "en").when(tr > en && tr > 0.03, "tr").otherwise("und")
+  }
+
+  /** English stopword ratio (exposed for quality scoring). */
+  def enStopwordRatio(c: Column): Column = stopRatio(c, EnStopwords)
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(regexp_count(c, lit("\\p{P}")) * lit(1.0) / length(c))
+
+  /** Mean token length. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t)) * lit(1.0) / size(toks))
+  }
+
+  /** Composite document-quality score in [0,1]: length sweet spot, low
+    * punctuation noise, sane mean token length, some stopwords (C4-style
+    * heuristics re-expressed as columns). */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c) / lit(500.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(c) * 5.0, lit(0.0))
+    val mtl = meanTokenLen(c)
+    val tokScore = when(mtl >= 3 && mtl <= 10, 1.0).otherwise(0.5)
+    val stopScore = least(enStopwordRatio(c) * 10.0, lit(1.0))
+    round(lenScore * 0.3 + punctScore * 0.3 + tokScore * 0.2 + stopScore * 0.2, 6)
+  }
+
+  /** Rolling-hash fingerprint of the token sequence: order-aware,
+    * whitespace-insensitive document identity. Chained `xxhash64(acc, tok)`
+    * instead of a polynomial hash — same collision behavior, and no Long
+    * overflow under ANSI mode. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(1469598103934665603L), (acc, t) => xxhash64(acc, t))
+
+  /** Word n-gram shingles of the token array. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

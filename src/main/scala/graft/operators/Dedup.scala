@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * bag-of-words, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale posture: every variant is blocking-based — candidate pairs only ever
+  * form inside hash buckets (LSH bands, SimHash prefixes, cosine LSH bits), so
+  * cost is Σ block² not n², and each groupBy/join shuffles on a well-spread
+  * key. Signatures are pure Catalyst columns (codegen'd); nothing collects to
+  * the driver.
+  */
+object Dedup {
+
+  // ------------------------------ exact ------------------------------------
+
+  /** Exact dedup: hash-groupBy on the raw text. Output: one row per input row
+    * with its cluster representative (min id). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val withH = df.select(col(idCol), h.as("content_hash"))
+    val reps = withH.groupBy("content_hash").agg(min(col(idCol)).as("rep_id"))
+    withH.join(reps, "content_hash").select(col(idCol), col("content_hash"), col("rep_id"))
+  }
+
+  /** Bag-of-words dedup: identical sorted-distinct token multiset ⇒ duplicate
+    * (whitespace/ordering-insensitive exact dedup). */
+  def bagOfWords(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val key = md5(array_join(array_sort(array_distinct(TextFunctions.tokens(col(textCol)))), " "))
+    val withH = df.select(col(idCol), key.as("bow_hash"))
+    val reps = withH.groupBy("bow_hash").agg(min(col(idCol)).as("rep_id"))
+    withH.join(reps, "bow_hash").select(col(idCol), col("bow_hash"), col("rep_id"))
+  }
+
+  // ------------------------------ MinHash ----------------------------------
+
+  /** MinHash signature: `numHashes` permutations approximated by seeded
+    * murmur3 over the shingle set (standard one-hash-function-per-permutation
+    * construction). Pure columns: array of array_min over transform. */
+  def minhashSignature(textCol: Column, shingleN: Int = 3, numHashes: Int = 64): Column = {
+    val sh = TextFunctions.shingles(textCol, shingleN)
+    val safe = when(size(sh) === 0, array(lit(""))).otherwise(sh)
+    array((0 until numHashes).map { i =>
+      array_min(transform(safe, s => hash(s, lit(i)).cast("long")))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of
+    * `numHashes/bands` rows; docs sharing any band bucket become candidate
+    * pairs; candidates are verified with exact shingle-set Jaccard and kept
+    * at `threshold`. Returns verified near-duplicate pairs
+    * (id_a < id_b, jaccard). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), shingleN, numHashes))
+      .withColumn("sh", array_distinct(TextFunctions.shingles(col("text"), shingleN)))
+
+    // one row per (band, bucket): bucket = hash of the band's slice
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val pairs = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+
+    pairs
+      .withColumn("jaccard",
+        when(size(col("sh_a")) === 0 && size(col("sh_b")) === 0, 1.0)
+          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0)
+            / size(array_union(col("sh_a"), col("sh_b")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash dedup to clusters: LSH pairs → connected components → rep ids. */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    val comps = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("id")))
+      .select("id", "cluster")
+  }
+
+  // ------------------------------ SimHash ----------------------------------
+
+  /** 64-bit SimHash of the token set: per-bit weighted vote of token hashes,
+    * expressed as pure columns (bit tests via shiftright/&1, vote via
+    * aggregate over tokens). */
+  def simhash(textCol: Column): Column = {
+    val toks = array_distinct(TextFunctions.tokens(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    // For each bit b: sum of (bit set ? +1 : -1) over token hashes; simhash
+    // bit = vote > 0. Folded into a Long via aggregate over 64 bit positions.
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hashes, lit(0),
+          (v, h) => v + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        acc.bitwiseOR(when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L))
+      })
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit prefix bands (4 bands ⇒ any pair
+    * within Hamming distance 3 shares at least one identical band), verify
+    * exact Hamming distance ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val banded = withSim.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val hamming = bit_count(col("l.sim").bitwiseXOR(col("r.sim")))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming.as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------- n-gram Jaccard ------------------------------
+
+  /** Direct n-gram Jaccard similarity join over a cheap length-bucket block
+    * (for corpora where MinHash overhead isn't worth it). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // length-bucket blocking: near-dups have near-equal shingle counts; a pair
+    // with jaccard >= t has size ratio >= t, so comparing adjacent buckets of
+    // geometric width 1/t covers all qualifying pairs (prefix-filter lite).
+    val withSh = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .filter(col("nsh") > 0)
+      .withColumn("bucket", floor(log(1.0 / threshold, col("nsh").cast("double"))))
+    // Equi-join only (an OR-of-equalities would force a nested-loop join):
+    // the left side fans out to its own and the next bucket key.
+    val left = withSh.withColumn("k", explode(array(col("bucket"), col("bucket") + 1)))
+    left.as("l").join(withSh.as("r"), col("l.k") === col("r.bucket"))
+      .filter((col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id")) ||
+        col("l.bucket") === col("r.bucket") - 1)
+      .select(
+        least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"),
+        (size(array_intersect(col("l.sh"), col("r.sh"))) * lit(1.0)
+          / size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------- embedding cosine ------------------------------
+
+  /** Cosine similarity of two float-array columns, computed in Catalyst
+    * (zip_with multiply + aggregate sum — codegen'd, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0d), (acc, p) => acc + p)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH blocking + exact
+    * cosine verification. Hyperplanes are derived deterministically from the
+    * dimension index (no random state): plane p weight for dim d =
+    * sign pattern of a hash. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val v = col(vecCol)
+    // bit p = (Σ_d sign(hash(p,d)) * v[d]) > 0  — deterministic hyperplane
+    val sig = aggregate(
+      sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, d) => x * when(hash(p, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          lit(0.0d), (a2, x) => a2 + x)
+        acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(0L))
+      })
+    val withSig = df.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
+    withSig.as("l").join(withSig.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        cosine(col("l.vec"), col("r.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline operators over the driver testdata tables. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").persist()
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
+
+  test("text functions: tokens, offsets, counts, lang, quality") {
+    val r = docs.limit(5).select(
+      col("text"),
+      TextFunctions.tokenCount(col("text")).as("tc"),
+      TextFunctions.subwordCount(col("text")).as("swc"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.tokensWithOffsets(col("text")).as("off")).collect()
+    r.foreach { row =>
+      val text = row.getString(0)
+      val tc = row.getInt(1)
+      assert(tc == text.trim.split("\\s+").length)
+      assert(row.getInt(2) >= tc) // subwords >= whitespace tokens
+      // language distribution asserted corpus-wide below (per-doc can be 'und')
+      val q = row.getDouble(4)
+      assert(q >= 0.0 && q <= 1.0)
+      val offs = row.getSeq[org.apache.spark.sql.Row](5)
+      assert(offs.length == tc)
+      offs.foreach { o =>
+        val (tok, s, e) = (o.getString(0), o.getInt(1), o.getInt(2))
+        assert(text.substring(s, e) == tok, s"offset mismatch: '$tok' vs '${text.substring(s, e)}'")
+      }
+    }
+  }
+
+  test("lang id: English-stopword corpus labels mostly en") {
+    val n = docs.count()
+    val en = docs.filter(TextFunctions.langId(col("text")) === "en").count()
+    assert(en >= n * 0.8, s"only $en of $n docs labeled en")
+    // Turkish address text labels tr
+    val tr = Seq("atatürk mahallesi cadde sokak no 5 kat 2 daire 3 adres bilgisi ve bu")
+      .toDF("t").select(TextFunctions.langId(col("t"))).as[String].head()
+    assert(tr == "tr")
+  }
+
+  test("rolling fingerprint: whitespace-insensitive, content-sensitive") {
+    val df = Seq("a b c", "a  b   c", "a b d").toDF("t")
+      .select(TextFunctions.rollingFingerprint(col("t")).as("f")).as[Long].collect()
+    assert(df(0) == df(1) && df(0) != df(2))
+  }
+
+  test("exact + bag-of-words dedup find planted duplicates") {
+    val planted = docs.select(col("doc_id"), col("text"))
+      .union(docs.limit(3).select(col("doc_id") + 100000, col("text")))
+    val ex = Dedup.exact(planted, "doc_id", "text")
+    assert(ex.filter(col("doc_id") =!= col("rep_id")).count() == 3)
+    val bow = Dedup.bagOfWords(planted, "doc_id", "text")
+    assert(bow.filter(col("doc_id") =!= col("rep_id")).count() >= 3)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    // plant: copy 3 docs with one word changed (high shingle overlap)
+    val mutated = docs.limit(3)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    val planted = docs.select("doc_id", "text").union(mutated)
+    val pairs = Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6).persist()
+    val plantedFound = pairs
+      .filter(col("id_b") === col("id_a") + 100000).count()
+    assert(plantedFound == 3, s"found $plantedFound of 3 planted near-dups")
+    // verification step keeps jaccard >= threshold only
+    assert(pairs.filter(col("jaccard") < 0.6).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("minhash clusters: planted dup lands with its source") {
+    val mutated = docs.limit(2)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val planted = docs.select("doc_id", "text").union(mutated)
+    val cl = Dedup.minhashClusters(planted, "doc_id", "text", threshold = 0.6)
+    val m = cl.as[(Long, Long)].collect().toMap
+    assert(m(100000L) == m(0L) && m(100001L) == m(1L))
+  }
+
+  test("simhash: exact copies at hamming 0; perturbed copy within band reach") {
+    val copies = docs.limit(3)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val planted = docs.select("doc_id", "text").union(copies)
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 0)
+    assert(pairs.filter(col("id_b") === col("id_a") + 100000).count() == 3)
+    // a lightly perturbed copy stays hamming-close (guaranteed findable <= 3)
+    val mut = docs.limit(1)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val pairs2 = Dedup.simhashPairs(docs.select("doc_id", "text").union(mut),
+      "doc_id", "text", maxHamming = 16)
+    info(s"perturbed-copy detections: ${pairs2.filter(col("id_b") === 200000).count()}")
+  }
+
+  test("ngram jaccard pairs: planted near-dup found, threshold respected") {
+    val mutated = docs.limit(3)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tailword")).as("text"))
+    val planted = docs.select("doc_id", "text").union(mutated)
+    val pairs = Dedup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.5).persist()
+    assert(pairs.filter(col("id_b") === col("id_a") + 100000).count() == 3)
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("embedding cosine: planted identical vector is found") {
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.limit(2).select(col("vec_id") + 100000, col("embedding")))
+    val pairs = Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.999)
+    assert(pairs.filter(col("id_b") === col("id_a") + 100000).count() == 2)
+  }
+
+  test("brute-force ANN topk: self-consistent and ranked") {
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L), k = 5)
+      .persist()
+    assert(topk.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    // ranks are 1..5 with non-increasing cosine
+    val rows = topk.orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).toSeq == (1 to 5))
+      assert(rs.map(_._3).toSeq == rs.map(_._3).sortBy(-_).toSeq)
+    }
+    topk.unpersist()
+  }
+
+  test("IVF ANN: high recall vs brute force on planted structure") {
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, k = 5,
+      nCells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(f"IVF recall@5 vs brute force: $recall%.2f")
+    assert(recall >= 0.5, f"IVF recall $recall%.2f too low")
+  }
+
+  test("multimodal: synthesis, batched decode, frame sampling") {
+    val assets = Multimodal.synthesize(spark, 200, seed = 42L).persist()
+    assert(assets.count() == 200)
+    val feats = Multimodal.extractFeatures(assets).persist()
+    assert(feats.count() == 200)
+    // decoded metadata round-trips the header
+    val joined = assets.toDF().alias("a")
+      .join(feats.toDF().alias("f"), col("a.media_id") === col("f.media_id"))
+    assert(joined.filter(col("a.width") =!= col("f.width") ||
+      col("a.height") =!= col("f.height")).count() == 0)
+    assert(feats.filter(size(col("feature")) =!= 8).count() == 0)
+    val frames = Multimodal.sampleFrames(assets)
+    assert(frames.count() > 0)
+    assert(frames.groupBy("media_id").count().filter(col("count") < 1).count() == 0)
+    feats.unpersist(); assets.unpersist()
+  }
+}
