@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, TrText}
+import graft.operators._
+import graft.sources.{Gazetteer, Pages}
+
+/** The driver-facing query catalog: one entry per operator family from
+  * SURVEY.md §2, each over the read-only testdata tables where a DuckDB
+  * oracle exists, plus the record-linkage pipeline queries over the
+  * synthesized pages table (no SQL equivalent → rows-only checks).
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - every query has a deterministic total ORDER BY;
+  *  - floating-point outputs are rounded (sums to 2 decimals, ratios to 6 or
+  *    coarser) so IEEE association order can't flip the comparison;
+  *  - string ops on testdata are ASCII, so NFKC is the identity on both sides.
+  */
+object Queries {
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Pages-table size for pipeline queries, derived from the sf directory. */
+  def pagesFor(dir: String): Long =
+    if (dir.contains("sf0.1")) 60000L else if (dir.contains("sf0.01")) 6000L else 1800L
+
+  // ------------------------------------------------------------------------
+  // Spark implementations
+  // ------------------------------------------------------------------------
+
+  val impls: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- normalization family (N-ops) ---
+    "q_norm_punct" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "customer").select(col("c_custkey"),
+        TrText.normalizePunctOnly(col("c_name")).as("norm"))
+        .orderBy("c_custkey")
+    }),
+    "q_tr_lower" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "nation").select(col("n_nationkey"),
+        TrText.trLower(col("n_name")).as("lname")).orderBy("n_nationkey")
+    }),
+    "q_norm_full_tr" -> ((s, dir) => {
+      // full Turkish canon chain over synthesized addresses (keyed by page id;
+      // no DuckDB oracle — lookbehind/lookahead regexes are not RE2-able)
+      implicit val sp = s
+      Pages.synthesize(s, math.min(pagesFor(dir), 6000L)).toDF()
+        .select(col("url"), TrText.normalizeFull(col("text")).as("norm"))
+        .orderBy("url")
+    }),
+
+    // --- string similarity (scoring family) ---
+    "q_levenshtein" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "part").select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("lev")).orderBy("p_partkey")
+    }),
+    "q_token_jaccard" -> ((s, dir) => {
+      implicit val sp = s
+      val a = array_distinct(split(col("p_name"), " "))
+      val b = array_distinct(split(col("p_type"), " "))
+      t(dir, "part").select(col("p_partkey"),
+        round(size(array_intersect(a, b)) * lit(1.0) / size(array_union(a, b)), 6)
+          .as("jacc")).orderBy("p_partkey")
+    }),
+    "q_jaro_winkler" -> ((s, dir) => {
+      implicit val sp = s
+      val jw = udf((a: String, b: String) => Scoring.jaroWinkler(a, b))
+      t(dir, "part").select(col("p_partkey"),
+        round(jw(col("p_name"), col("p_brand")), 4).as("jw")).orderBy("p_partkey")
+    }),
+    "q_soundex" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "customer").select(col("c_custkey"),
+        soundex(regexp_replace(col("c_name"), "[^A-Za-z]", "")).as("sdx"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- relational core: agg / having / window / join / set / sort-limit ---
+    "q_agg_lineitem" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n"),
+        countDistinct("l_orderkey").as("n_orders"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_group_having" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "supplier").groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 2).orderBy("s_nationkey")
+    }),
+    "q_topk_window" -> ((s, dir) => {
+      implicit val sp = s
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(dir, "orders").withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+    "q_join_agg" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "orders").join(broadcast(t(dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_set_ops" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "customer").select(col("c_mktsegment").as("v")).distinct()
+        .union(t(dir, "orders").select(col("o_orderpriority").as("v")).distinct())
+        .distinct().orderBy("v")
+    }),
+    "q_sort_limit" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "part").orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .select("p_partkey", "p_retailprice").limit(10)
+    }),
+    "q_events_window" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    }),
+    "q_extract_regex" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "events").select(col("event_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).as("num")).orderBy("event_id")
+    }),
+
+    // --- text analysis over documents ---
+    "q_token_count" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang")).orderBy("doc_id")
+    }),
+    "q_quality" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "documents").select(col("doc_id"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.enStopwordRatio(col("text")), 6).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+    "q_rolling_fp" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "documents").select(col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("fp")).orderBy("doc_id")
+    }),
+    "q_tokens_offsets" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "documents").select(col("doc_id"),
+        posexplode(TextFunctions.tokensWithOffsets(col("text"))))
+        .select(col("doc_id"), col("pos"),
+          col("col.tok").as("tok"), col("col.start").as("start"), col("col.end").as("end"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // --- dedup family over documents ---
+    "q_dedup_exact" -> ((s, dir) => {
+      implicit val sp = s
+      Dedup.exact(t(dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    }),
+    "q_dedup_bow" -> ((s, dir) => {
+      implicit val sp = s
+      Dedup.bagOfWords(t(dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    }),
+    "q_minhash_pairs" -> ((s, dir) => {
+      implicit val sp = s
+      Dedup.minhashPairs(t(dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      implicit val sp = s
+      Dedup.simhashPairs(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      implicit val sp = s
+      Dedup.ngramJaccardPairs(t(dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_embed_dedup" -> ((s, dir) => {
+      implicit val sp = s
+      Dedup.embeddingPairs(t(dir, "embeddings"), "vec_id", "embedding", threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- similarity search over embeddings ---
+    "q_ann_threshold" -> ((s, dir) => {
+      implicit val sp = s
+      Similarity.thresholdPairs(t(dir, "embeddings"), "vec_id", "embedding",
+          queryIds = (0L until 8L), minCos = 0.2)
+        .withColumn("cos", round(col("cos"), 2))
+        .orderBy("query_id", "neighbor_id")
+    }),
+    "q_ann_topk" -> ((s, dir) => {
+      implicit val sp = s
+      Similarity.bruteForceTopK(t(dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L until 8L), k = 5).orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      implicit val sp = s
+      Similarity.ivfTopK(t(dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L until 8L), k = 5, nCells = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- gazetteer lookups (G-ops; synthesized table, rows-only) ---
+    "q_gaz_admin_counts" -> ((s, dir) => Gazetteer.adminCounts(Gazetteer.dataFrame(s))),
+    "q_gaz_nbhds" -> ((s, dir) =>
+      Gazetteer.neighbourhoodsOf(Gazetteer.dataFrame(s), Some("izmir"), None)),
+
+    // --- record-linkage pipeline over synthesized pages (rows-only) ---
+    "q_pages_extract" -> ((s, dir) =>
+      Linkage.extract(Pages.synthesize(s, pagesFor(dir)).toDF())
+        .select("url", "extracted").orderBy("url")),
+    "q_pages_parse" -> ((s, dir) => {
+      val prep = Linkage.extract(Pages.synthesize(s, pagesFor(dir)).toDF())
+      StaticParser.parse(prep.select("url", "extracted"), "extracted",
+          StaticParser.broadcastIndex(s))
+        .select("url", "province", "district", "neighbourhood").orderBy("url")
+    }),
+    "q_block_stats" -> ((s, dir) =>
+      Linkage.prepare(Pages.synthesize(s, pagesFor(dir)).toDF())
+        .groupBy("block_key").agg(count(lit(1)).as("n")).orderBy("block_key")),
+    "q_scored_pairs" -> ((s, dir) =>
+      Linkage.scored(Linkage.prepare(Pages.synthesize(s, pagesFor(dir)).toDF()))
+        .select(col("url_a"), col("url_b"), round(col("score"), 4).as("score"),
+          col("is_match")).orderBy("url_a", "url_b")),
+    "q_entities" -> ((s, dir) =>
+      Linkage.entities(Pages.synthesize(s, pagesFor(dir)).toDF(),
+        StaticParser.broadcastIndex(s)).orderBy("url")),
+
+    // --- multimodal (rows-only) ---
+    "q_media_features" -> ((s, dir) => {
+      val n = math.min(pagesFor(dir), 10000L)
+      Multimodal.extractFeatures(Multimodal.synthesize(s, n)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+          col("height"), col("frames")).orderBy("media_id")
+    })
+  )
+
+  // ------------------------------------------------------------------------
+  // DuckDB oracle SQL (only for queries whose semantics are SQL-expressible
+  // over the same parquet tables; RE2 quirks: no lookaround → capture-group
+  // twins of the lookahead patterns, global flag 'g' explicit).
+  // ------------------------------------------------------------------------
+
+  private val normPunctSql =
+    """WITH t0 AS (SELECT c_custkey, trim(regexp_replace(c_name, '\s+', ' ', 'g')) AS s FROM customer),
+      |t1 AS (SELECT c_custkey, trim(regexp_replace(regexp_replace(s, '\s*([,;:/\-\._])\s*', ' \1 ', 'g'), '\s+', ' ', 'g')) AS s FROM t0),
+      |t2 AS (SELECT c_custkey, trim(regexp_replace(regexp_replace(regexp_replace(s, '[.,]', ' ', 'g'), '(\p{P})', ' \1 ', 'g'), '\s+', ' ', 'g')) AS s FROM t1),
+      |t3 AS (SELECT c_custkey, trim(regexp_replace(regexp_replace(regexp_replace(s, '([A-Za-zÇĞİÖŞÜçğıöşü])(\d)', '\1 \2', 'g'), '(\d)([A-Za-zÇĞİÖŞÜçğıöşü])', '\1 \2', 'g'), '\s+', ' ', 'g')) AS s FROM t2)
+      |SELECT c_custkey, s AS norm FROM t3 ORDER BY c_custkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_norm_punct" -> normPunctSql,
+    "q_tr_lower" ->
+      "SELECT n_nationkey, lower(translate(n_name, 'İI', 'iı')) AS lname FROM nation ORDER BY n_nationkey",
+    "q_levenshtein" ->
+      "SELECT p_partkey, levenshtein(p_name, p_type) AS lev FROM part ORDER BY p_partkey",
+    "q_token_jaccard" ->
+      """SELECT p_partkey, round(len(list_filter(a, x -> list_contains(b, x))) * 1.0 /
+        | len(list_distinct(list_concat(a, b))), 6) AS jacc
+        |FROM (SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS a,
+        |             list_distinct(string_split(p_type, ' ')) AS b FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_jaro_winkler" ->
+      "SELECT p_partkey, round(jaro_winkler_similarity(p_name, p_brand), 4) AS jw FROM part ORDER BY p_partkey",
+    "q_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n,
+        | count(DISTINCT l_orderkey) AS n_orders, round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_group_having" ->
+      "SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY s_nationkey HAVING count(*) > 2 ORDER BY s_nationkey",
+    "q_topk_window" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_set_ops" ->
+      """SELECT DISTINCT c_mktsegment AS v FROM customer
+        |UNION SELECT DISTINCT o_orderpriority AS v FROM orders ORDER BY v""".stripMargin,
+    "q_sort_limit" ->
+      "SELECT p_partkey, p_retailprice FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10",
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q_extract_regex" ->
+      "SELECT event_id, regexp_extract(props, '(\\d+)', 1) AS num FROM events ORDER BY event_id",
+    "q_token_count" ->
+      """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH r AS (SELECT doc_id,
+         | len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(${duckList(TextFunctions.EnStopwords)}, x))) * 1.0
+         |   / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS enr,
+         | len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(${duckList(TextFunctions.TrStopwords)}, x))) * 1.0
+         |   / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS trr
+         |FROM documents)
+         |SELECT doc_id, CASE WHEN enr >= trr AND enr > 0.03 THEN 'en'
+         |  WHEN trr > enr AND trr > 0.03 THEN 'tr' ELSE 'und' END AS lang
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id,
+        | round(len(regexp_extract_all(text, '\p{P}')) * 1.0 / len(text), 6) AS punct_ratio,
+        | round(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |   x -> list_contains(['the','a','an','of','and','or','to','in','is','it','on','for','with','as','at','by','this','that','be','are'], x))) * 1.0
+        |   / len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 6) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        | min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_bow" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))), ' ')) AS bow_hash
+        | FROM documents)
+        |SELECT doc_id, bow_hash, min(doc_id) OVER (PARTITION BY bow_hash) AS rep_id
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_ann_threshold" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        | round(list_cosine_similarity(q.embedding, c.embedding), 2) AS cos
+        |FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.2
+        |ORDER BY query_id, neighbor_id""".stripMargin
+  )
+
+  private def duckList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+}

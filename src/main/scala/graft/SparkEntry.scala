@@ -1,13 +1,21 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 and Queries for the catalog. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query: the full record-linkage pipeline (synthesize pages →
+    * extract → normalize → block → score → cluster → parse) at sf0.001 scale. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    operators.Linkage.entities(
+      sources.Pages.synthesize(spark, 1800L).toDF(),
+      operators.StaticParser.broadcastIndex(spark))
+
+  /** One entry per implemented operator family from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.impls
+
+  /** DuckDB-equivalent SQL for the SQL-expressible subset; kernels and
+    * synthesized-input pipelines are rows-only checked. */
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -65,7 +65,9 @@ object Scoring {
       i += 1
     }
     val m = matches.toDouble
-    (m / l1 + m / l2 + (m - transpositions / 2.0) / m) / 3.0
+    // transpositions = floor(mismatched-position count / 2) — the convention
+    // used by Apache Commons Text and DuckDB (not the fractional-half variant)
+    (m / l1 + m / l2 + (m - transpositions / 2) / m) / 3.0
   }
 
   /** Jaro-Winkler with the standard 0.1 prefix scale, max prefix 4,

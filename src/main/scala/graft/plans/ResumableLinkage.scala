@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Linkage, Scoring, StaticParser}
+import graft.sources.Gazetteer
+
+/** The linkage pipeline with per-stage snapshot commits: each heavy stage
+  * (prepare, score, cluster, entities) publishes a versioned snapshot and a
+  * metrics row; a rerun with the same input fingerprint resumes from the
+  * last committed stage instead of recomputing (north-rule resumability). */
+object ResumableLinkage {
+
+  /** Input fingerprint: identifies (pages source, config, code version) —
+    * stages re-run iff any of these change. */
+  def fingerprint(pagesId: String, cfg: Linkage.Config): String =
+    s"$pagesId|t=${cfg.threshold}|mb=${cfg.maxBlock}|${Snapshots.CodeVersion}"
+
+  def run(spark: SparkSession, pages: DataFrame, pagesId: String, root: String,
+          bIdx: Broadcast[Gazetteer.Index],
+          cfg: Linkage.Config = Linkage.Config()): DataFrame = {
+    val fp = fingerprint(pagesId, cfg)
+
+    val prepared = Resumable.stage(spark, root, "prepared", fp) {
+      Linkage.prepare(pages, cfg)
+    }
+    val scored = Resumable.stage(spark, root, "scored", fp) {
+      Linkage.scored(prepared, cfg)
+    }
+    val comps = Resumable.stage(spark, root, "components", fp) {
+      ConnectedComponents.run(
+        scored.filter(col("is_match"))
+          .select(xxhash64(col("url_a")).as("src"), xxhash64(col("url_b")).as("dst")))
+    }
+    Resumable.stage(spark, root, "entities", fp) {
+      val withEntity = prepared
+        .withColumn("node_id", xxhash64(col("url")))
+        .join(comps.withColumnRenamed("id", "node_id"), Seq("node_id"), "left")
+        .withColumn("entity_id", coalesce(col("component"), col("node_id")))
+        .select("url", "extracted", "entity_id")
+      StaticParser.parse(withEntity, "extracted", bIdx)
+        .select("url", "entity_id", "province", "district", "neighbourhood")
+    }
+  }
+}
