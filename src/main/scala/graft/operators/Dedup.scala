@@ -16,6 +16,15 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Heavy per-row signature work must not inherit a single-file scan's
+    * partitioning (one parquet file = one partition = one core). Spread to
+    * the cluster's default parallelism before computing signatures; the
+    * shuffle moves only (id, text) and is trivially repaid. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ------------------------------ exact ------------------------------------
 
   /** Exact dedup: hash-groupBy on the raw text. Output: one row per input row
@@ -58,7 +67,7 @@ object Dedup {
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val withSig = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("sig", minhashSignature(col("text"), shingleN, numHashes))
       .withColumn("sh", array_distinct(TextFunctions.shingles(col("text"), shingleN)))
 
@@ -122,7 +131,8 @@ object Dedup {
     * exact Hamming distance ≤ maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val withSim = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), simhash(col("text")).as("sim"))
     val banded = withSim.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL))))
@@ -139,29 +149,50 @@ object Dedup {
 
   // --------------------------- n-gram Jaccard ------------------------------
 
-  /** Direct n-gram Jaccard similarity join over a cheap length-bucket block
-    * (for corpora where MinHash overhead isn't worth it). */
+  /** Exact n-gram Jaccard similarity join via PREFIX FILTERING (PPJoin-style;
+    * see the set-similarity-join literature in PAPERS.md).
+    *
+    * A pair with Jaccard ≥ t must share at least one shingle among either
+    * side's prefix of size `|x| - ceil(t·|x|) + 1` when shingles are sorted
+    * in a global order. Ordering by ascending corpus frequency makes prefixes
+    * the RAREST shingles, so candidate buckets stay tiny even when every
+    * document has the same length (a length-bucket scheme degenerates to
+    * all-pairs there). Cost: one frequency aggregate + an equi-join on
+    * prefix-shingle — no quadratic block anywhere. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // length-bucket blocking: near-dups have near-equal shingle counts; a pair
-    // with jaccard >= t has size ratio >= t, so comparing adjacent buckets of
-    // geometric width 1/t covers all qualifying pairs (prefix-filter lite).
-    val withSh = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    val withSh = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .filter(col("nsh") > 0)
-      .withColumn("bucket", floor(log(1.0 / threshold, col("nsh").cast("double"))))
-    // Equi-join only (an OR-of-equalities would force a nested-loop join):
-    // the left side fans out to its own and the next bucket key.
-    val left = withSh.withColumn("k", explode(array(col("bucket"), col("bucket") + 1)))
-    left.as("l").join(withSh.as("r"), col("l.k") === col("r.bucket"))
-      .filter((col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id")) ||
-        col("l.bucket") === col("r.bucket") - 1)
-      .select(
-        least(col("l.id"), col("r.id")).as("id_a"),
-        greatest(col("l.id"), col("r.id")).as("id_b"),
-        (size(array_intersect(col("l.sh"), col("r.sh"))) * lit(1.0)
-          / size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
+
+    // global shingle frequency → total order (freq asc, shingle asc)
+    val exploded = withSh.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+    val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("f"))
+
+    // rank shingles within each doc by (f, shingle); keep the prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("f"), col("shingle"))
+    val prefix = exploded.join(freq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .select(col("shingle"), col("id"))
+
+    // candidates: docs sharing any prefix shingle (+ size-ratio prefilter)
+    val cand = prefix.as("l").join(prefix.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val sets = withSh.select(col("id"), col("sh"), col("nsh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "id_b")
+      .filter(least(col("nsh_a"), col("nsh_b")) * lit(1.0)
+        / greatest(col("nsh_a"), col("nsh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0)
+          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -182,7 +213,7 @@ object Dedup {
     * sign pattern of a hash. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      planes: Int = 12, threshold: Double = 0.95): DataFrame = {
-    val v = col(vecCol)
+    val v = col("vec")
     // bit p = (Σ_d sign(hash(p,d)) * v[d]) > 0  — deterministic hyperplane
     val sig = aggregate(
       sequence(lit(0), lit(planes - 1)), lit(0L),
@@ -193,7 +224,8 @@ object Dedup {
           lit(0.0d), (a2, x) => a2 + x)
         acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(0L))
       })
-    val withSig = df.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
+    val withSig = spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"), sig.as("bucket"))
     withSig.as("l").join(withSig.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

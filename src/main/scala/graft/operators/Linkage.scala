@@ -68,8 +68,10 @@ object Linkage {
       .withColumn("entity_id", coalesce(col("component"), col("node_id")))
       .select("url", "extracted", "entity_id")
 
+    // NOTE: `prepared` stays persisted — the returned DataFrame still reads
+    // it (eager unpersist here would silently recompute the whole synthesis/
+    // extract branch at the caller's first action). Spark evicts LRU.
     val parsed = StaticParser.parse(withEntity, "extracted", bIdx)
-    prepared.unpersist()
     parsed.select("url", "entity_id", "province", "district", "neighbourhood")
   }
 }

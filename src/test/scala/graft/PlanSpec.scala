@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Blocking, Dedup, Linkage}
+import graft.sources.Pages
+
+/** Physical-plan shape assertions: the properties that decide whether the
+  * operators survive a 100× scale-up — pushdown, broadcast selection, and
+  * the absence of any quadratic join strategy. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("parquet scans prune columns (ReadSchema contains only used columns)") {
+    val p = plan(SparkEntry.queries("q_token_count")(spark, sfDir))
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"unpruned scan: $read")
+  }
+
+  test("dimension join is broadcast, not shuffle") {
+    val p = plan(SparkEntry.queries("q_join_agg")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"no pushdown:\n$p")
+  }
+
+  test("no quadratic join strategy anywhere in the linkage pair plan") {
+    val prep = Linkage.prepare(Pages.synthesize(spark, 300).toDF())
+    val p = plan(Blocking.candidatePairs(prep, "block_key", "url", Seq("norm"), 50))
+    assert(!p.contains("CartesianProduct"), "cartesian in pair join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in pair join")
+  }
+
+  test("no quadratic join strategy in prefix-filtered ngram jaccard") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic strategy:\n${p.take(2000)}")
+  }
+
+  test("normalizer chain stays in one WholeStageCodegen span") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(graft.functions.TrText.normalizeFull(col("text")).as("n"))
+    val p = plan(df)
+    // '*(n)' prefixes mark WholeStageCodegen stages in toString form; the
+    // whole chain must sit in stage 1 over the scan
+    assert(p.contains("*(1) Project"), s"no codegen:\n${p.take(800)}")
+  }
+}
