@@ -6,20 +6,26 @@ import org.apache.spark.sql.functions._
 /** Scaling-efficiency evidence for the north rule (N → 4N cores ≥ 0.8).
   *
   * No multi-node cluster exists in this sandbox, so the same job runs at two
-  * `local[k]` parallelism levels (default 8 and 32) on the SAME input, and we
-  * report throughput at both plus efficiency = T(N·cores) / (4 · T(N)) …
-  * i.e. throughput ratio divided by the core ratio.
+  * `local[k]` parallelism levels on the SAME input, each level in its own
+  * fresh JVM (same-JVM back-to-back runs share JIT state and skew the
+  * comparison), with repeated measurements after a warm-up; the steady-state
+  * (minimum) time per level feeds efficiency = (thr_high / thr_low) / (4N/N).
   *
-  * The measured job is the full linkage pipeline: synthesize → extract →
-  * normalize → block → salted pair join → score → match-edge count (the
-  * clustering loop is excluded here because its round count is data- not
-  * core-bound; Bench reports it separately).
+  * The measured job is the full linkage hot path: synthesize → extract →
+  * normalize → block → salted pair join → score → match-edge count. The
+  * clustering loop is excluded (round count is data- not core-bound; Bench
+  * reports it separately).
   *
-  * Usage: sbt "runMain graft.Scaling [nPages] [lowCores] [highCores]"
+  * Usage: sbt "runMain graft.Scaling <nPages> <cores> [reps]"   (one level)
+  * Efficiency across levels is assembled in BENCH/BASELINE.md.
   */
 object Scaling {
 
-  def runOnce(cores: Int, nPages: Long): (Double, Long) = {
+  def main(args: Array[String]): Unit = {
+    val nPages = args.lift(0).map(_.toLong).getOrElse(120000L)
+    val cores = args.lift(1).map(_.toInt).getOrElse(32)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -29,34 +35,26 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      // warm-up: JIT + codegen caches, tiny slice
-      val warm = operators.Linkage.scored(
-        operators.Linkage.prepare(sources.Pages.synthesize(spark, 2000).toDF()))
-      warm.filter(col("is_match")).count()
 
+    def once(): (Double, Long) = {
       val t0 = System.nanoTime()
-      val scored = operators.Linkage.scored(
-        operators.Linkage.prepare(sources.Pages.synthesize(spark, nPages).toDF()))
-      val matches = scored.filter(col("is_match")).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      (sec, matches)
-    } finally spark.stop()
-  }
+      val prepared = operators.Linkage.prepare(
+        sources.Pages.synthesize(spark, nPages).toDF())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val matches = operators.Linkage.scored(prepared)
+        .filter(col("is_match")).count()
+      prepared.unpersist(blocking = true)
+      ((System.nanoTime() - t0) / 1e9, matches)
+    }
 
-  def main(args: Array[String]): Unit = {
-    val nPages = args.lift(0).map(_.toLong).getOrElse(120000L)
-    val low = args.lift(1).map(_.toInt).getOrElse(8)
-    val high = args.lift(2).map(_.toInt).getOrElse(32)
-
-    val (secLow, mLow) = runOnce(low, nPages)
-    val (secHigh, mHigh) = runOnce(high, nPages)
-    require(mLow == mHigh, s"match counts diverged: $mLow vs $mHigh")
-
-    val thrLow = nPages / secLow
-    val thrHigh = nPages / secHigh
-    val eff = (thrHigh / thrLow) / (high.toDouble / low)
+    once() // warm-up: JIT + codegen + shuffle services at full size
+    val runs = (1 to reps).map(_ => once())
+    require(runs.map(_._2).distinct.size == 1, s"match counts diverged: $runs")
+    val secs = runs.map(_._1)
+    val best = secs.min
+    val secsJson = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_pages":$nPages,"matches":$mLow,"cores_low":$low,"sec_low":$secLow%.2f,"pages_per_sec_low":$thrLow%.1f,"cores_high":$high,"sec_high":$secHigh%.2f,"pages_per_sec_high":$thrHigh%.1f}""")
+      f"""{"metric":"scaling_level","cores":$cores,"n_pages":$nPages,"matches":${runs.head._2},"secs":$secsJson,"best_sec":$best%.2f,"pages_per_sec":${nPages / best}%.1f}""")
+    spark.stop()
   }
 }

@@ -93,10 +93,20 @@ object Blocking {
       .withColumn("i", explode(sequence(lit(0), col("salt"))))
       .drop("s", "salt")
 
+    // AQE coalescing is BLIND to join-output amplification: the map-side
+    // bytes of these inputs are tiny relative to the quadratic pair fan-out
+    // inside each (bk,i,j) task, so AQE would happily coalesce the exchange
+    // to one partition and run the whole pair space single-threaded
+    // (observed: 207 s on 1 task vs 15 s on 32). Explicit repartition on the
+    // join keys pins the partition count — user repartitions are never
+    // coalesced — and the join reuses it with no extra exchange.
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val lRen = left.select(Seq(col("bk"), col("i"), col("j"), col("id").as(s"${idCol}_a")) ++
       payloadCols.map(p => col(p).as(s"${p}_a")): _*)
+      .repartition(numParts, col("bk"), col("i"), col("j"))
     val rRen = right.select(Seq(col("bk"), col("i"), col("j"), col("id").as(s"${idCol}_b")) ++
       payloadCols.map(p => col(p).as(s"${p}_b")): _*)
+      .repartition(numParts, col("bk"), col("i"), col("j"))
 
     lRen.join(rRen, Seq("bk", "i", "j"))
       .filter(col("i") =!= col("j") || col(s"${idCol}_a") < col(s"${idCol}_b"))

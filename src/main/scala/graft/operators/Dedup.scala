@@ -47,12 +47,16 @@ object Dedup {
 
   // ------------------------------ MinHash ----------------------------------
 
-  /** MinHash signature: `numHashes` permutations approximated by seeded
-    * murmur3 over the shingle set (standard one-hash-function-per-permutation
-    * construction). Pure columns: array of array_min over transform. */
-  def minhashSignature(textCol: Column, shingleN: Int = 3, numHashes: Int = 64): Column = {
-    val sh = TextFunctions.shingles(textCol, shingleN)
-    val safe = when(size(sh) === 0, array(lit(""))).otherwise(sh)
+  /** MinHash signature from an ALREADY MATERIALIZED shingle-array column:
+    * `numHashes` permutations approximated by seeded murmur3 (standard
+    * one-hash-function-per-permutation construction).
+    *
+    * Taking the shingle column (an attribute reference) instead of the text
+    * matters: embedding the shingle-construction subtree here would
+    * re-evaluate it once per hash function per row (64× the tokenize/slice
+    * work — measured 140 s vs ~4 s on the sf0.1 corpus). */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+    val safe = when(size(shingleCol) === 0, array(lit(""))).otherwise(shingleCol)
     array((0 until numHashes).map { i =>
       array_min(transform(safe, s => hash(s, lit(i)).cast("long")))
     }: _*)
@@ -68,8 +72,8 @@ object Dedup {
                    threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .withColumn("sig", minhashSignature(col("text"), shingleN, numHashes))
       .withColumn("sh", array_distinct(TextFunctions.shingles(col("text"), shingleN)))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
     // one row per (band, bucket): bucket = hash of the band's slice
     val banded = withSig.select(

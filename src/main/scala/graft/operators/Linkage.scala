@@ -35,17 +35,21 @@ object Linkage {
       col("warc_ts"),
       regexp_extract(col("text"), cfg.extractPattern, 1).as("extracted"))
 
-  /** Canonical normalized text + blocking key + stable 64-bit node id. */
+  /** Canonical normalized text + blocking key + stable 64-bit node id.
+    * `canon` (sorted signature tokens) is computed here, once per record —
+    * the scorer's per-pair work is then pure string metrics. */
   def prepare(pages: DataFrame, cfg: Config = Config()): DataFrame =
     extract(pages, cfg)
       .withColumn("norm", Blocking.blockNorm(col("extracted")))
       .withColumn("block_key", Blocking.blockKey(col("norm")))
+      .withColumn("canon", array_join(array_sort(
+        filter(split(col("norm"), " "), t => t.rlike("[\\p{L}\\p{N}]"))), " "))
       .withColumn("node_id", xxhash64(col("url")))
 
   /** Candidate pairs at shared blocking keys (skew-salted self-join). */
   def candidates(prepared: DataFrame, cfg: Config = Config()): DataFrame =
     Blocking.candidatePairs(prepared, "block_key", "url",
-      payloadCols = Seq("norm"), maxBlock = cfg.maxBlock)
+      payloadCols = Seq("canon"), maxBlock = cfg.maxBlock)
 
   /** Scored candidate pairs. */
   def scored(prepared: DataFrame, cfg: Config = Config()): DataFrame =

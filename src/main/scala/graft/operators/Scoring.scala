@@ -3,8 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** One candidate pair entering the scorer (canonical normalized texts). */
-case class CandPair(block_key: String, url_a: String, url_b: String, norm_a: String, norm_b: String)
+/** One candidate pair entering the scorer. `canon_*` is the per-ROW
+  * pre-sorted signature-token string (see [[Linkage.prepare]]) — sorting and
+  * punctuation-stripping happen once per record, not once per pair. */
+case class CandPair(block_key: String, url_a: String, url_b: String, canon_a: String, canon_b: String)
 
 /** A scored pair; `is_match` is the thresholded decision. */
 case class ScoredPair(block_key: String, url_a: String, url_b: String,
@@ -124,13 +126,18 @@ object Scoring {
   def sigTokens(norm: String): Array[String] =
     norm.split(" ").filter(t => t.nonEmpty && t.exists(_.isLetterOrDigit))
 
-  def scorePair(normA: String, normB: String): (Double, Double, Double, Double, Double) = {
-    val ta = sigTokens(normA)
-    val tb = sigTokens(normB)
-    val sortedA = ta.sorted.mkString(" ")
-    val sortedB = tb.sorted.mkString(" ")
-    val jw = jaroWinkler(sortedA, sortedB)
-    val lv = levSim(sortedA, sortedB)
+  /** Per-row canonical form: sorted signature tokens, space-joined. Sorting
+    * makes the character metrics order-invariant (surface realizations
+    * reorder admin segments freely) and is done ONCE per record here rather
+    * than once per candidate pair in the kernel. */
+  def canonical(norm: String): String = sigTokens(norm).sorted.mkString(" ")
+
+  /** Score a pair of pre-canonicalized strings. */
+  def scoreCanon(canonA: String, canonB: String): (Double, Double, Double, Double, Double) = {
+    val ta = if (canonA.isEmpty) Array.empty[String] else canonA.split(" ")
+    val tb = if (canonB.isEmpty) Array.empty[String] else canonB.split(" ")
+    val jw = jaroWinkler(canonA, canonB)
+    val lv = levSim(canonA, canonB)
     val jc = tokenJaccard(ta, tb)
     // Numeric tokens (building no, postcode, numeric street names) are strong
     // identity evidence: "no 12" vs "no 47" at the same street is a different
@@ -141,11 +148,15 @@ object Scoring {
     (jw, lv, jc, ns, score)
   }
 
+  /** Convenience: score two raw normalized strings (tests, ad-hoc use). */
+  def scorePair(normA: String, normB: String): (Double, Double, Double, Double, Double) =
+    scoreCanon(canonical(normA), canonical(normB))
+
   /** The scoring operator: candidate pairs → scored pairs. */
   def score(pairs: Dataset[CandPair], threshold: Double = 0.85): Dataset[ScoredPair] = {
     import pairs.sparkSession.implicits._
     pairs.mapPartitions(_.map { p =>
-      val (jw, lv, jc, ns, s) = scorePair(p.norm_a, p.norm_b)
+      val (jw, lv, jc, ns, s) = scoreCanon(p.canon_a, p.canon_b)
       ScoredPair(p.block_key, p.url_a, p.url_b, jw, lv, jc, ns, s, s >= threshold)
     })
   }
@@ -153,6 +164,6 @@ object Scoring {
   /** DataFrame adapter around [[score]]. */
   def scoreDF(pairs: DataFrame, threshold: Double = 0.85): DataFrame = {
     import pairs.sparkSession.implicits._
-    score(pairs.select("block_key", "url_a", "url_b", "norm_a", "norm_b").as[CandPair], threshold).toDF()
+    score(pairs.select("block_key", "url_a", "url_b", "canon_a", "canon_b").as[CandPair], threshold).toDF()
   }
 }

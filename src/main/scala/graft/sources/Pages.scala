@@ -61,20 +61,36 @@ object Pages {
   case class Entity(gaz: GazRow, rawNbhd: String, rawDistrict: String, rawProvince: String,
                     street: String, isAvenue: Boolean, bina: Int)
 
-  def entityOf(seed: Long, e: Long): Entity = {
+  /** The street-name space grows with the entity count (a larger crawl covers
+    * more places): a FIXED pool would make block density — and thus candidate
+    * pairs — grow quadratically with input size, which is a property of the
+    * synthetic world, not of a real corpus. ~100 entities per street keeps
+    * mean block size constant at any scale. Deterministic in n, so two runs
+    * over the same input (e.g. the two scaling levels) see the same world. */
+  def streetPoolSize(nEntities: Long): Int =
+    math.max(StreetNames.size, (nEntities / 100L).toInt)
+
+  /** Street `idx` from the virtual pool: named streets first, then numeric
+    * street names in the reference's style (`1445 sokak`). */
+  def streetOf(idx: Int): String =
+    if (idx < StreetNames.size) StreetNames(idx) else s"${1000 + idx}"
+
+  def entityOf(seed: Long, e: Long): Entity = entityOf(seed, e, StreetNames.size)
+
+  def entityOf(seed: Long, e: Long, poolSize: Int): Entity = {
     // Entities must be pairwise-distinct addresses (two gold-different
     // entities with identical text would be an unresolvable label error, not
     // a matcher test). A bijective multiplicative permutation of the entity
     // id over the (gazetteer × street × bina × type) space guarantees zero
     // collisions up to `cap` entities while still looking well-mixed.
     val nGaz = Gazetteer.rows.size
-    val nStreet = StreetNames.size
+    val nStreet = poolSize
     val nBina = 199
     val cap = nGaz.toLong * nStreet * nBina * 2
     val x = ((e + (seed & 0xffff)) * 1000003L) % cap // 1000003 prime, coprime to cap
     val gi = (x % nGaz).toInt
     val x2 = x / nGaz
-    val street = StreetNames((x2 % nStreet).toInt)
+    val street = streetOf((x2 % nStreet).toInt)
     val x3 = x2 / nStreet
     val bina = 1 + (x3 % nBina).toInt
     val isAvenue = (x3 / nBina) % 2 == 0
@@ -127,9 +143,11 @@ object Pages {
   def fillerText(seed: Long, id: Long, tag: Long, n: Int): String =
     (0 until n).map(i => pick(FillerWords, seed, id, tag * 100 + i)).mkString(" ")
 
-  def pageOf(seed: Long, id: Long): Page = {
+  def pageOf(seed: Long, id: Long): Page = pageOf(seed, id, StreetNames.size)
+
+  def pageOf(seed: Long, id: Long, poolSize: Int): Page = {
     val e = id / VariantsPerEntity
-    val ent = entityOf(seed, e)
+    val ent = entityOf(seed, e, poolSize)
     val addr = addressVariant(seed, id, ent)
     val pre = fillerText(seed, id, 20, 3 + ((rng(seed, id, 21) >>> 1) % 5).toInt)
     val post = fillerText(seed, id, 22, 3 + ((rng(seed, id, 23) >>> 1) % 5).toInt)
@@ -142,7 +160,8 @@ object Pages {
   /** The pages table: `spark.range(n)` → deterministic per-row kernel. */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Page] = {
     import spark.implicits._
-    spark.range(n).mapPartitions(_.map(id => pageOf(seed, id)))
+    val pool = streetPoolSize(n / VariantsPerEntity)
+    spark.range(n).mapPartitions(_.map(id => pageOf(seed, id, pool)))
   }
 
   /** Gold entity id is a pure function of the url (synthesis embeds it);

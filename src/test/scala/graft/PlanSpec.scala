@@ -17,6 +17,7 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
   test("parquet scans prune columns (ReadSchema contains only used columns)") {
+    spark.catalog.clearCache() // other suites may have cached this table
     val p = plan(SparkEntry.queries("q_token_count")(spark, sfDir))
     val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
     assert(read.contains("doc_id") && read.contains("text"))
