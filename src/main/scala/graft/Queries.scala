@@ -250,6 +250,27 @@ object Queries {
       Linkage.entities(Pages.synthesize(s, pagesFor(dir)).toDF(),
         StaticParser.broadcastIndex(s)).orderBy("url")),
 
+    // --- NER output surface (E2-E8), BIO corpus (S1-S9), goldset (Q1-Q3),
+    //     eval (V2) — rows-only ---
+    "q_ner_outputs" -> ((s, dir) => {
+      val prep = Linkage.extract(Pages.synthesize(s, math.min(pagesFor(dir), 6000L)).toDF())
+        .withColumn("norm", graft.functions.TrText.normalizeStatic(col("extracted")))
+      NerOutputs.process(prep, "url", "norm", StaticParser.broadcastIndex(s)).toDF()
+        .select("url", "pred_tags", "entities_flat").orderBy("url")
+    }),
+    "q_bio_stats" -> ((s, dir) =>
+      graft.sources.Bio.stats(graft.sources.Bio.synthesize(s, math.min(pagesFor(dir), 20000L)))),
+    "q_goldset_classes" -> ((s, dir) => {
+      val ex = Linkage.extract(Pages.synthesize(s, pagesFor(dir)).toDF())
+      Goldset.tokenStats(Goldset.classify(ex, "extracted"), "extracted")
+    }),
+    "q_linkage_f1" -> ((s, dir) => {
+      val sc = Linkage.scored(Linkage.prepare(Pages.synthesize(s, pagesFor(dir)).toDF()))
+      val gold = sc.select(col("url_a"), col("url_b"),
+        (Pages.goldEntityId(col("url_a")) === Pages.goldEntityId(col("url_b"))).as("is_pos"))
+      Eval.pairwiseMetrics(sc.select("url_a", "url_b", "is_match"), gold)
+    }),
+
     // --- multimodal (rows-only) ---
     "q_media_features" -> ((s, dir) => {
       val n = math.min(pagesFor(dir), 10000L)
