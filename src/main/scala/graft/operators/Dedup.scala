@@ -112,23 +112,12 @@ object Dedup {
 
   // ------------------------------ SimHash ----------------------------------
 
-  /** 64-bit SimHash of the token set: per-bit weighted vote of token hashes,
-    * expressed as pure columns (bit tests via shiftright/&1, vote via
-    * aggregate over tokens). */
-  def simhash(textCol: Column): Column = {
-    val toks = array_distinct(TextFunctions.tokens(textCol))
-    val hashes = transform(toks, t => xxhash64(t))
-    // For each bit b: sum of (bit set ? +1 : -1) over token hashes; simhash
-    // bit = vote > 0. Folded into a Long via aggregate over 64 bit positions.
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val vote = aggregate(hashes, lit(0),
-          (v, h) => v + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        acc.bitwiseOR(when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L))
-      })
-  }
+  /** 64-bit SimHash of the distinct token set: per-bit weighted vote of
+    * token xxhash64 values, as the native codegen'd expression
+    * [[graft.functions.SimHash64]] (the pure-Column HOF formulation runs
+    * interpreted and was ~40× slower). */
+  def simhash(textCol: Column): Column =
+    graft.functions.SimHashUtil.simhash64(textCol)
 
   /** SimHash near-dup pairs: block on 16-bit prefix bands (4 bands ⇒ any pair
     * within Hamming distance 3 shares at least one identical band), verify

@@ -148,7 +148,7 @@ object NerOutputs {
              bIdx: Broadcast[Gazetteer.Index]): Unit = {
     val in = spark.read.option("header", "true").csv(inCsv)
       .withColumn("__url", monotonically_increasing_id().cast("string"))
-      .withColumn("__norm", TrText.normalizeStatic(col(textCol)))
+      .withColumn("__norm", graft.functions.TrNormalize.static(col(textCol)))
     val preds = process(in, "__url", "__norm", bIdx).toDF()
       .withColumnRenamed("url", "__url").drop("norm")
     in.join(preds, "__url").drop("__url", "__norm")

@@ -79,6 +79,23 @@ object Gazetteer {
     rows.toDF()
   }
 
+  /** G2 `_build` as a DataFrame ETL over a RAW gazetteer table
+    * (province, district, neighbourhood, postcode) — the path a full-scale
+    * PTT-shaped input takes: static-normalize every key, drop rows with
+    * empty keys, strip standalone `mah` from neighbourhoods, dedupe
+    * (ref data/ptt_data/map.py:129-155,211-215, all in Catalyst columns). */
+  def etl(raw: DataFrame): DataFrame = {
+    def norm(c: String) = TrText.normalizeStatic(col(c))
+    raw.select(
+        norm("province").as("province"),
+        norm("district").as("district"),
+        array_join(filter(split(norm("neighbourhood"), " "), t => t =!= "mah"), " ")
+          .as("neighbourhood"),
+        col("postcode").cast("string").as("postcode"))
+      .filter(col("province") =!= "" && col("district") =!= "" && col("neighbourhood") =!= "")
+      .dropDuplicates("province", "district", "neighbourhood", "postcode")
+  }
+
   // ------------------------- G5–G9 query operators -------------------------
   // Relational forms of the reference's lookup API (data/ptt_data/map.py:224-287).
   // Each takes the gazetteer DataFrame so callers can substitute a full-scale

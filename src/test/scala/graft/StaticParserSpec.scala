@@ -66,6 +66,27 @@ class StaticParserSpec extends AnyFunSuite {
     assert(p.contains("izmir") && d.contains("bornova") && n.isEmpty)
   }
 
+  test("G2 ETL: raw gazetteer input normalizes to the synthesized rows") {
+    import spark.implicits._
+    // raw (un-normalized) input in the PTT table's shape
+    val raw = Gazetteer.RawPools.flatMap { case (p, d, ns) =>
+      ns.map(n => (p, d, n + " Mah", "35000")) // trailing standalone 'mah' stripped
+    }.toDF("province", "district", "neighbourhood", "postcode")
+    val out = Gazetteer.etl(raw)
+    assert(out.count() == Gazetteer.rows.size)
+    val got = out.select("province", "district", "neighbourhood")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Gazetteer.rows.map(r => (r.province, r.district, r.neighbourhood)).toSet)
+  }
+
+  test("static normalization is a no-op on already-normalized gazetteer keys") {
+    for (r <- Gazetteer.rows) {
+      assert(graft.functions.TrText.normalizeStaticS(r.province) == r.province)
+      assert(graft.functions.TrText.normalizeStaticS(r.district) == r.district)
+      assert(graft.functions.TrText.normalizeStaticS(r.neighbourhood) == r.neighbourhood)
+    }
+  }
+
   test("G6/G8 relational lookups") {
     val gaz = Gazetteer.dataFrame(spark)
     assert(Gazetteer.provinces(gaz).count() == 6)

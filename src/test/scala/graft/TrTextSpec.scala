@@ -168,6 +168,20 @@ class TrTextSpec extends AnyFunSuite {
     Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, frag).map(_.mkString(" ")))
   }
 
+  test("TrNormalize expression agrees with the composed Column pipelines") {
+    import graft.functions.TrNormalize
+    val inputs = (fullGolden ++ punctGolden).map(_._1) ++ staticGolden.map(_._1)
+    val df = inputs.toDF("s")
+    def both(expr: org.apache.spark.sql.Column, comp: org.apache.spark.sql.Column) =
+      df.select(expr.as("a"), comp.as("b")).as[(String, String)].collect()
+    both(TrNormalize.full(col("s")), TrText.normalizeFull(col("s")))
+      .foreach { case (a, b) => assert(a == b) }
+    both(TrNormalize.static(col("s")), TrText.normalizeStatic(col("s")))
+      .foreach { case (a, b) => assert(a == b) }
+    both(TrNormalize.punct(col("s")), TrText.normalizePunctOnly(col("s")))
+      .foreach { case (a, b) => assert(a == b) }
+  }
+
   private def samples(n: Int): Seq[String] =
     Gen.listOfN(n, addressish).pureApply(Gen.Parameters.default, Seed(42L))
 
