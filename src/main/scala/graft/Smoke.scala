@@ -56,8 +56,22 @@ object Smoke {
     ents.show(8, false)
     val nClusters = ents.select("entity_id").distinct().count()
     println(s"[smoke] pages=3000 clusters=$nClusters (expect ~1000)")
-    ents.explain("formatted")
 
+    // Training-pipeline operators over the real testdata tables.
+    import graft.operators.{Dedup, Similarity, NerOutputs}
+    val docsT = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[smoke] minhash_pairs=${Dedup.minhashPairs(docsT, "doc_id", "text", threshold = 0.5).count()}")
+    println(s"[smoke] simhash_pairs=${Dedup.simhashPairs(docsT, "doc_id", "text", 3).count()}")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 3).show(6, false)
+
+    // NER output surface on the synthesized pages.
+    val nerIn = Linkage.extract(pages.limit(200))
+      .withColumn("norm", graft.functions.TrNormalize.static(col("extracted")))
+    NerOutputs.process(nerIn, "url", "norm", StaticParser.broadcastIndex(spark))
+      .show(3, 80)
+
+    ents.explain("formatted")
     spark.stop()
   }
 }

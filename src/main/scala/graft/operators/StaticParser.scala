@@ -134,4 +134,19 @@ object StaticParser {
   /** Convenience: broadcast the default synthesized gazetteer index. */
   def broadcastIndex(spark: SparkSession): Broadcast[Gazetteer.Index] =
     spark.sparkContext.broadcast(Gazetteer.buildIndex())
+
+  /** Top-`limit` closest gazetteer keys for a target string, ranked by the
+    * reference's composite score `(contains, startswith, common-tokens,
+    * -length)` (ref test/test_static_parser.py:63-71). */
+  def suggest(keys: Seq[String], target: String, limit: Int = 5): Seq[String] = {
+    val targetTokens = target.split(" ").toSet
+    keys.map { k =>
+      val kt = k.split(" ").toSet
+      val score = (if (target.contains(k) || k.contains(target)) 1 else 0,
+        if (k.startsWith(target)) 1 else 0,
+        kt.intersect(targetTokens).size,
+        -k.length)
+      (score, k)
+    }.sortBy { case ((a, b, c, d), k) => (-a, -b, -c, -d, k) }.take(limit).map(_._2)
+  }
 }

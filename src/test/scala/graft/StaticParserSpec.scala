@@ -87,6 +87,13 @@ class StaticParserSpec extends AnyFunSuite {
     }
   }
 
+  test("suggest: composite-score top-k over gazetteer keys") {
+    val keys = Gazetteer.rows.map(_.neighbourhood).distinct
+    val got = StaticParser.suggest(keys, "caferaga", 3)
+    assert(got.head == "caferaga")
+    assert(got.length == 3)
+  }
+
   test("G6/G8 relational lookups") {
     val gaz = Gazetteer.dataFrame(spark)
     assert(Gazetteer.provinces(gaz).count() == 6)
