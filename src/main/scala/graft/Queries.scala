@@ -200,7 +200,13 @@ object Queries {
     }),
     "q_embed_dedup" -> ((s, dir) => {
       implicit val sp = s
-      Dedup.embeddingPairs(t(dir, "embeddings"), "vec_id", "embedding", threshold = 0.9)
+      // the natural corpus has no near-identical vectors; plant 20
+      // deterministic duplicates (id + 10^6) so the operator's recall is
+      // actually exercised — it must find exactly these
+      val base = t(dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.union(base.filter(col("vec_id") < 20)
+        .select(col("vec_id") + 1000000L, col("embedding")))
+      Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.99)
         .orderBy("id_a", "id_b")
     }),
 

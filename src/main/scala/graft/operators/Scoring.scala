@@ -132,8 +132,11 @@ object Scoring {
     * than once per candidate pair in the kernel. */
   def canonical(norm: String): String = sigTokens(norm).sorted.mkString(" ")
 
-  /** Score a pair of pre-canonicalized strings. */
-  def scoreCanon(canonA: String, canonB: String): (Double, Double, Double, Double, Double) = {
+  /** Score a pair of pre-canonicalized strings (null-safe: external inputs
+    * may carry null text through extraction). */
+  def scoreCanon(canonA0: String, canonB0: String): (Double, Double, Double, Double, Double) = {
+    val canonA = if (canonA0 == null) "" else canonA0
+    val canonB = if (canonB0 == null) "" else canonB0
     val ta = if (canonA.isEmpty) Array.empty[String] else canonA.split(" ")
     val tb = if (canonB.isEmpty) Array.empty[String] else canonB.split(" ")
     val jw = jaroWinkler(canonA, canonB)
