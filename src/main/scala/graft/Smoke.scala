@@ -71,6 +71,18 @@ object Smoke {
     NerOutputs.process(nerIn, "url", "norm", StaticParser.broadcastIndex(spark))
       .show(3, 80)
 
+    // Resumable snapshot pipeline: run twice, second run must resume.
+    import graft.plans.{ResumableLinkage, Snapshots}
+    val root = java.nio.file.Files.createTempDirectory("smoke-snaps").toString
+    val bIdx2 = StaticParser.broadcastIndex(spark)
+    val small = Pages.synthesize(spark, 600).toDF()
+    ResumableLinkage.run(spark, small, "smoke-600", root, bIdx2).count()
+    val m1 = Snapshots.metrics(spark, root).count()
+    ResumableLinkage.run(spark, small, "smoke-600", root, bIdx2).count()
+    val m2 = Snapshots.metrics(spark, root).count()
+    println(s"[smoke] resumable: metrics_after_run1=$m1 after_run2=$m2 (equal = resumed), " +
+      s"lineage_files=${Snapshots.lineage(spark, root).count()}")
+
     ents.explain("formatted")
     spark.stop()
   }

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * | commit atomicity       | data written first, manifest PUBLISHED LAST   |
   * |                        | via atomic same-dir rename (tmp → manifest)   |
   * | snapshot lineage       | `parent` + `input_fingerprint` in manifest    |
-  * | metrics/files tables   | `root/_metrics/` parquet (per stage/snapshot) |
+  * | metrics table          | `root/_metrics/` parquet (per stage/snapshot) |
+  * | files table (per-partition lineage) | `root/_lineage/` parquet (per data file: rows) |
   * | time travel / resume   | `latest(stage, fingerprint)` → read-or-recompute |
   *
   * Resume contract (north rule): a failed run leaves at most an uncommitted
@@ -104,8 +105,27 @@ object Snapshots {
       .write.mode("append").parquet(Paths.get(root, "_metrics").toString)
   }
 
+  /** Per-partition lineage of a committed snapshot: one row per data file
+    * (stage, snap, file, rows) — the Iceberg files-table analogue. Row counts
+    * come from the parquet footers via an aggregation over
+    * `input_file_name()`, so the scan is metadata-cheap. */
+  def appendLineage(spark: SparkSession, root: String, stage: String, snap: Int): Unit = {
+    import org.apache.spark.sql.functions.{count => cnt, _}
+    spark.read.parquet(dataPath(root, stage, snap))
+      .groupBy(input_file_name().as("file"))
+      .agg(cnt(lit(1)).as("rows"))
+      .select(lit(stage).as("stage"), lit(snap).as("snap"), col("file"), col("rows"))
+      .write.mode("append").parquet(Paths.get(root, "_lineage").toString)
+  }
+
   def metrics(spark: SparkSession, root: String): DataFrame = {
     val p = Paths.get(root, "_metrics")
+    if (Files.isDirectory(p)) spark.read.parquet(p.toString)
+    else spark.emptyDataFrame
+  }
+
+  def lineage(spark: SparkSession, root: String): DataFrame = {
+    val p = Paths.get(root, "_lineage")
     if (Files.isDirectory(p)) spark.read.parquet(p.toString)
     else spark.emptyDataFrame
   }
@@ -130,6 +150,7 @@ object Resumable {
         val rows = Snapshots.readManifest(root, stageName, s).rows
         Snapshots.appendMetrics(spark, root, stageName, s, rows, sec,
           df.rdd.getNumPartitions)
+        Snapshots.appendLineage(spark, root, stageName, s)
         s
     }
     spark.read.parquet(Snapshots.dataPath(root, stageName, snap))

@@ -43,6 +43,12 @@ class SnapshotStreamingSpec extends AnyFunSuite {
       .orderBy("url").collect()
     val metricsAfter1 = Snapshots.metrics(spark, root).count()
     assert(metricsAfter1 == 4) // one row per committed stage
+    // per-partition lineage: file rows sum to each stage's manifest rows
+    val lin = Snapshots.lineage(spark, root)
+    assert(lin.count() >= 4)
+    val linSum = lin.groupBy("stage").agg(org.apache.spark.sql.functions.sum("rows").as("r"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(linSum("prepared") == 600 && linSum("entities") == 600)
 
     val r2 = ResumableLinkage.run(spark, pages, "pages-600-42", root, bIdx)
       .orderBy("url").collect()
