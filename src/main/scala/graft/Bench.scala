@@ -18,8 +18,9 @@ object Bench {
     "q_agg_lineitem", "q_join_agg", "q_topk_window", "q_events_window",
     "q_token_count", "q_lang_id", "q_quality",
     "q_dedup_exact", "q_dedup_bow", "q_minhash_pairs", "q_simhash_pairs",
-    "q_ann_topk", "q_ann_ivf",
-    "q_pages_extract", "q_scored_pairs", "q_entities")
+    "q_ngram_jaccard", "q_ann_topk", "q_ann_ivf",
+    "q_pages_extract", "q_ner_outputs", "q_scored_pairs", "q_entities",
+    "q_linkage_f1")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
