@@ -94,8 +94,10 @@ object Queries {
     }),
     "q_group_having" -> ((s, dir) => {
       implicit val sp = s
-      t(dir, "supplier").groupBy("s_nationkey").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 2).orderBy("s_nationkey")
+      // orders-per-customer keeps the HAVING selective but non-empty at
+      // every scale factor (supplier-per-nation was empty at sf0.001)
+      t(dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 5).orderBy("o_custkey")
     }),
     "q_topk_window" -> ((s, dir) => {
       implicit val sp = s
@@ -318,7 +320,7 @@ object Queries {
         | count(DISTINCT l_orderkey) AS n_orders, round(avg(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_group_having" ->
-      "SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY s_nationkey HAVING count(*) > 2 ORDER BY s_nationkey",
+      "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 5 ORDER BY o_custkey",
     "q_topk_window" ->
       """SELECT o_custkey, o_orderkey, rk FROM (
         | SELECT o_custkey, o_orderkey,
