@@ -1,9 +1,21 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs the headline queries on
   * `SPARK_GRAFT_SF_DIR` at `local[SPARK_GRAFT_CPUS]`, prints ONE JSON line.
+  *
+  * Robustness (round-2 verdict items):
+  *  - best-of-2 per query — the first pass absorbs JVM/JIT/page-cache warm-up
+  *    and host contention spikes (the round-1 official record was 3.7× the
+  *    reproducible number on a single cold run);
+  *  - failures are RECORDED, not swallowed: a crashing query lands in
+  *    `failed` with its message and is excluded from `total`/`pages_per_sec`;
+  *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` (default
+  *    `BENCH_LOCAL.json` in the cwd) so the official record survives sbt log
+  *    noise (`"parsed": null` in BENCH_r01).
   *
   * Extra keys beyond the required contract: `pages_per_sec` (pages pushed
   * through the full linkage pipeline per second — the north-rule throughput
@@ -22,9 +34,15 @@ object Bench {
     "q_pages_extract", "q_ner_outputs", "q_scored_pairs", "q_entities",
     "q_linkage_f1")
 
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
+    case '\t' => "\\t"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,25 +52,48 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+    // (name, best-time-or-None, errorMessage)
+    val results: Seq[(String, Option[Double], Option[String])] =
+      headline.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          var best = Double.MaxValue
+          var err: Option[String] = None
+          var r = 0
+          while (r < runs && err.isEmpty) {
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            }
+            r += 1
+          }
+          (name, if (err.isEmpty) Some(best) else None, err)
+        }
       }
-    }
+
+    val ok = results.collect { case (n, Some(t), _) => n -> t }
+    val failed = results.collect { case (n, None, Some(m)) => n -> m }
 
     // north-rule throughput: pages through extract→block→score→match per sec
     val nPages = Queries.pagesFor(sfDir)
-    val pagesPerSec = results.collectFirst {
+    val pagesPerSec = ok.collectFirst {
       case ("q_scored_pairs", sec) if sec > 0 => nPages / sec
     }.getOrElse(0.0)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f}""")
+    val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"runs_per_query":$runs}"""
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try Files.writeString(Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     spark.stop()
   }
 }

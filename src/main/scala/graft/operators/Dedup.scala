@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -9,21 +10,26 @@ import graft.functions.TextFunctions
   * bag-of-words, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
   *
   * Scale posture: every variant is blocking-based — candidate pairs only ever
-  * form inside hash buckets (LSH bands, SimHash prefixes, cosine LSH bits), so
-  * cost is Σ block² not n², and each groupBy/join shuffles on a well-spread
-  * key. Signatures are pure Catalyst columns (codegen'd); nothing collects to
-  * the driver.
+  * form inside hash buckets (LSH bands, SimHash prefixes, cosine LSH bands),
+  * so cost is Σ block² not n², and each groupBy/join shuffles on a well-spread
+  * key. Candidate JOINS carry only (id, band, bucket) — never the shingle
+  * sets or embedding vectors themselves (payload through the banded shuffle
+  * is what kills these at 100 TB); verification re-attaches per-id state via
+  * skinny equi-joins, and set overlap is counted from the EXPLODED shingle
+  * relation (`groupBy(id_a,id_b).count()`), not `array_intersect` on carried
+  * arrays. Signatures are pure Catalyst columns (codegen'd); nothing collects
+  * to the driver.
   */
 object Dedup {
 
   /** Heavy per-row signature work must not inherit a single-file scan's
     * partitioning (one parquet file = one partition = one core). Spread to
     * the cluster's default parallelism before computing signatures; the
-    * shuffle moves only (id, text) and is trivially repaid. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+    * shuffle moves only (id, text) and is trivially repaid. (Unconditional —
+    * checking `rdd.getNumPartitions` first would instantiate the physical
+    * plan twice.) */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   // ------------------------------ exact ------------------------------------
 
@@ -45,6 +51,35 @@ object Dedup {
     withH.join(reps, "bow_hash").select(col(idCol), col("bow_hash"), col("rep_id"))
   }
 
+  // --------------------- shared Jaccard verification -----------------------
+
+  /** Exact Jaccard for candidate pairs WITHOUT carrying shingle arrays:
+    * |a∩b| is counted from the exploded (id, shingle) relation — candidates
+    * fan out to their left-side shingles, an equi-join on (id_b, shingle)
+    * keeps the shared ones, and `groupBy(id_a,id_b).count()` is the exact
+    * intersection size (arrays are distinct). Jaccard follows from scalars:
+    * inter / (nsh_a + nsh_b − inter).
+    *
+    * @param cand candidate pairs (id_a, id_b), already deduplicated
+    * @param sets per-id state (id, sh: array<string>, nsh: int) */
+  private def verifiedJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val expl = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val inter = cand.select("id_a", "id_b")
+      .join(expl.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(expl.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col("id"), col("nsh"))
+    cand
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("nsh_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nsh_b")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard",
+        when(col("nsh_a") + col("nsh_b") === 0, 1.0) // both empty ⇒ identical
+          .otherwise(col("inter") * lit(1.0)
+            / (col("nsh_a") + col("nsh_b") - col("inter"))))
+  }
+
   // ------------------------------ MinHash ----------------------------------
 
   /** MinHash signature from an ALREADY MATERIALIZED shingle-array column:
@@ -64,36 +99,36 @@ object Dedup {
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `numHashes/bands` rows; docs sharing any band bucket become candidate
-    * pairs; candidates are verified with exact shingle-set Jaccard and kept
-    * at `threshold`. Returns verified near-duplicate pairs
-    * (id_a < id_b, jaccard). */
+    * pairs; candidates are verified with exact shingle-set Jaccard
+    * (co-occurrence counted, arrays never shuffled) and kept at `threshold`.
+    * Returns verified near-duplicate pairs (id_a < id_b, jaccard). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .withColumn("sh", array_distinct(TextFunctions.shingles(col("text"), shingleN)))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // per-id shingle state, computed once and reused by the signature branch,
+    // the size branch, and the exploded verification branch
+    val sets = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), shingleN)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // one row per (band, bucket): bucket = hash of the band's slice
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+    // one row per (id, band, bucket): bucket = hash of the band's slice.
+    // ONLY (id, band, bucket) enters the self-join — no array payload.
+    val banded = sets
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val pairs = banded.as("l").join(banded.as("r"),
+    val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
 
-    pairs
-      .withColumn("jaccard",
-        when(size(col("sh_a")) === 0 && size(col("sh_b")) === 0, 1.0)
-          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0)
-            / size(array_union(col("sh_a"), col("sh_b")))))
+    verifiedJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -106,7 +141,7 @@ object Dedup {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     df.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
-      .withColumn("cluster", coalesce(col("component"), col("id")))
+      .withColumn("cluster", coalesce(col("component").cast("long"), col("id")))
       .select("id", "cluster")
   }
 
@@ -150,17 +185,28 @@ object Dedup {
     * in a global order. Ordering by ascending corpus frequency makes prefixes
     * the RAREST shingles, so candidate buckets stay tiny even when every
     * document has the same length (a length-bucket scheme degenerates to
-    * all-pairs there). Cost: one frequency aggregate + an equi-join on
-    * prefix-shingle — no quadratic block anywhere. */
+    * all-pairs there).
+    *
+    * Beyond the prefix filter this applies the two standard PPJoin prunes
+    * BEFORE verification: the size filter (min/max ≥ t) and the POSITIONAL
+    * filter — for the first shared prefix shingle at in-doc ranks (ra, rb),
+    * overlap ≤ 1 + min(nsh_a − ra, nsh_b − rb), which must reach
+    * α = ⌈t/(1+t)·(nsh_a+nsh_b)⌉ (the overlap equivalent of Jaccard ≥ t);
+    * ranks follow one global order, so the globally-first shared shingle
+    * minimizes BOTH ranks — min(ra)/min(rb) come from the same row and the
+    * bound is sound. Verification then counts the exact intersection from
+    * the exploded relation (no arrays through any shuffle — round-1's
+    * carry-both-arrays + array_intersect plan was 35% of the whole bench). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+    val sets = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), n)).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .filter(col("nsh") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // global shingle frequency → total order (freq asc, shingle asc)
-    val exploded = withSh.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+    val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
     val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("f"))
 
     // rank shingles within each doc by (f, shingle); keep the prefix
@@ -169,23 +215,21 @@ object Dedup {
     val prefix = exploded.join(freq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-      .select(col("shingle"), col("id"))
+      .select(col("shingle"), col("id"), col("nsh"), col("rk"))
 
-    // candidates: docs sharing any prefix shingle (+ size-ratio prefilter)
+    // candidates: docs sharing any prefix shingle, with size + positional prunes
+    val alpha = ceil(lit(threshold) / (1 + threshold) * (col("nsh_a") + col("nsh_b")))
     val cand = prefix.as("l").join(prefix.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    val sets = withSh.select(col("id"), col("sh"), col("nsh"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("nsh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b")), "id_b")
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.nsh").as("nsh_a"), col("r.nsh").as("nsh_b"))
+      .agg(min(col("l.rk")).as("ra"), min(col("r.rk")).as("rb"))
       .filter(least(col("nsh_a"), col("nsh_b")) * lit(1.0)
         / greatest(col("nsh_a"), col("nsh_b")) >= threshold)
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0)
-          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(lit(1) + least(col("nsh_a") - col("ra"), col("nsh_b") - col("rb")) >= alpha)
+      .select("id_a", "id_b")
+
+    verifiedJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -200,15 +244,11 @@ object Dedup {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
-  /** Embedding near-dup pairs via random-hyperplane LSH blocking + exact
-    * cosine verification. Hyperplanes are derived deterministically from the
-    * dimension index (no random state): plane p weight for dim d =
-    * sign pattern of a hash. */
-  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     planes: Int = 12, threshold: Double = 0.95): DataFrame = {
-    val v = col("vec")
-    // bit p = (Σ_d sign(hash(p,d)) * v[d]) > 0  — deterministic hyperplane
-    val sig = aggregate(
+  /** Random-hyperplane signature: bit p of the result is the sign of the
+    * projection of `v` onto deterministic hyperplane p (plane weights are
+    * ±1 from a hash of (plane, dim) — no RNG state, reproducible anywhere). */
+  def hyperplaneSignature(v: Column, planes: Int): Column =
+    aggregate(
       sequence(lit(0), lit(planes - 1)), lit(0L),
       (acc, p) => {
         val proj = aggregate(
@@ -217,12 +257,44 @@ object Dedup {
           lit(0.0d), (a2, x) => a2 + x)
         acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(0L))
       })
+
+  /** Embedding near-dup pairs via BANDED random-hyperplane LSH + exact cosine
+    * verification.
+    *
+    * Banding matters for recall: requiring all `planes` bits equal (round-1
+    * design) has collision probability (1−θ/π)^planes — ≈0.58 at cos 0.99 and
+    * ≈0.28 at cos 0.95 with 12 planes. With `bands` independent bands of
+    * `planes/bands` bits, a pair is a candidate when ANY band matches:
+    * 1−(1−p^6)^4 ≈ 0.997 at cos 0.99 and ≈0.95 at cos 0.95 (24 planes,
+    * 4×6 default). Exact cosine on the candidates keeps precision exact.
+    * The banded self-join carries only (id, band, bucket); vectors are
+    * re-attached to the deduplicated pairs by id. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     planes: Int = 24, bands: Int = 4,
+                     threshold: Double = 0.95): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val bits = planes / bands
+    val mask = (1L << bits) - 1
     val withSig = spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .select(col("id"), col("vec"), sig.as("bucket"))
-    withSig.as("l").join(withSig.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        cosine(col("l.vec"), col("r.vec")).as("cos"))
+      .select(col("id"), col("vec"), hyperplaneSignature(col("vec"), planes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val banded = withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val vecs = withSig.select(col("id"), col("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

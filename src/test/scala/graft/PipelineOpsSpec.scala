@@ -122,6 +122,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.filter(col("id_b") === col("id_a") + 100000).count() == 2)
   }
 
+  test("embedding LSH recall: PERTURBED near-duplicates (cos ~0.99) are found") {
+    // round-1 flaw: a single 12-bit bucket has ~0.58 recall at cos 0.99 and
+    // the old test only planted identical vectors (cos 1.0, always collide).
+    // Perturb each dimension by ±7% (deterministic by parity): cosine lands
+    // ~0.995-0.999, strictly < 1, so banding is genuinely exercised.
+    val nPlant = 40
+    val perturbed = emb.filter(col("vec_id") < nPlant)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x * when(pmod(i, lit(2)) === 0, 1.07).otherwise(0.93)).cast("float"))
+          .as("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).union(perturbed)
+    val pairs = Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.98)
+      .persist()
+    // sanity: the planted pairs really are non-identical near-dups
+    val found = pairs.filter(col("id_b") === col("id_a") + 100000).persist()
+    assert(found.filter(col("cos") >= 0.999999).count() == 0, "perturbation was a no-op")
+    val recall = found.count().toDouble / nPlant
+    info(f"banded hyperplane LSH recall at cos~0.99: $recall%.3f")
+    assert(recall >= 0.95, f"recall $recall%.2f < 0.95 — banding broken")
+    found.unpersist(); pairs.unpersist()
+  }
+
   test("brute-force ANN topk: self-consistent and ranked") {
     val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L), k = 5)
       .persist()
