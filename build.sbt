@@ -25,6 +25,10 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
+  // Pin the default locale: Spark's lower()/upper() non-ASCII path uses the
+  // JVM default locale — under tr/az/lt it diverges from Locale.ROOT (İ/I/ı
+  // dotted-I rules) and executors would disagree with the Scala twins.
+  "-Duser.language=en", "-Duser.country=US",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -26,7 +26,9 @@ object TextFunctions {
       struct(lit(0).cast("int").as("pos"),
         expr("CAST(array() AS array<struct<tok:string,start:int,end:int>>)").as("out")),
       (acc, t) => {
-        val rel = instr(substring(c, acc.getField("pos") + 1, lit(1000000)), t)
+        // suffix length bound = length(c): a fixed literal would silently
+        // zero `instr` (and corrupt offsets) past that many chars
+        val rel = instr(substring(c, acc.getField("pos") + 1, length(c)), t)
         val start = acc.getField("pos") + rel - 1
         val endp = (start + length(t)).cast("int")
         struct(endp.as("pos"),

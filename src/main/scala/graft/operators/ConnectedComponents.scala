@@ -57,11 +57,18 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** @param edges DataFrame with numeric `src`, `dst` columns (undirected).
+  /** @param edges DataFrame with `src`, `dst` columns (undirected) of any
+    *               orderable type — longs OR strings: min/least/greatest are
+    *               type-generic, so node ids can be the url strings
+    *               themselves. At 10^12 nodes a 64-bit hash id collides
+    *               ~n²/2⁶⁵ ≈ 2.7×10⁴ times, each silently merging two
+    *               unrelated entities — carrying the natural string key is
+    *               the collision-FREE choice (the shuffle payload grows by
+    *               the key width; correctness is not negotiable here).
     * @return DataFrame (id, component) covering every node that appears in
     *         `edges`; `component` is the minimum node id of the component. */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()

@@ -21,10 +21,14 @@ object Eval {
       sum(when(col("is_pos") && col("is_match"), 1L).otherwise(0L)).as("tp"),
       sum(when(!col("is_pos") && col("is_match"), 1L).otherwise(0L)).as("fp"),
       sum(when(col("is_pos") && !col("is_match"), 1L).otherwise(0L)).as("fn"))
-      .withColumn("precision", round(col("tp") / (col("tp") + col("fp")), 6))
-      .withColumn("recall", round(col("tp") / (col("tp") + col("fn")), 6))
-      .withColumn("f1", round(lit(2) * col("precision") * col("recall")
-        / (col("precision") + col("recall")), 6))
+      // f1 from the RAW counts (2tp / (2tp+fp+fn)) — not from the rounded
+      // p/r, which compounds rounding error; zero denominators → 0.0, not null
+      .withColumn("precision", round(coalesce(
+        col("tp") / (col("tp") + col("fp")), lit(0.0)), 6))
+      .withColumn("recall", round(coalesce(
+        col("tp") / (col("tp") + col("fn")), lit(0.0)), 6))
+      .withColumn("f1", round(coalesce(
+        lit(2) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), lit(0.0)), 6))
   }
 
   /** V2: entity-level P/R/F1 per type + micro row. Both inputs have

@@ -35,16 +35,18 @@ object Linkage {
       col("warc_ts"),
       regexp_extract(col("text"), cfg.extractPattern, 1).as("extracted"))
 
-  /** Canonical normalized text + blocking key + stable 64-bit node id.
-    * `canon` (sorted signature tokens) is computed here, once per record —
-    * the scorer's per-pair work is then pure string metrics. */
+  /** Canonical normalized text + blocking key. `canon` (sorted signature
+    * tokens) is computed here, once per record — the scorer's per-pair work
+    * is then pure string metrics. The node identity throughout the pipeline
+    * is the url ITSELF: a 64-bit hash id silently merges ~2.7×10⁴ unrelated
+    * entities at the north rule's 10^12 pages (n²/2⁶⁵ birthday collisions),
+    * so no hash-derived id ever reaches the clustering. */
   def prepare(pages: DataFrame, cfg: Config = Config()): DataFrame =
     extract(pages, cfg)
       .withColumn("norm", Blocking.blockNorm(col("extracted")))
       .withColumn("block_key", Blocking.blockKey(col("norm")))
       .withColumn("canon", array_join(array_sort(
         filter(split(col("norm"), " "), t => t.rlike("[\\p{L}\\p{N}]"))), " "))
-      .withColumn("node_id", xxhash64(col("url")))
 
   /** Candidate pairs at shared blocking keys (skew-salted self-join). */
   def candidates(prepared: DataFrame, cfg: Config = Config()): DataFrame =
@@ -56,20 +58,20 @@ object Linkage {
     Scoring.scoreDF(candidates(prepared, cfg), cfg.threshold)
 
   /** Full pipeline → one row per url with its entity id and parsed admin
-    * hierarchy. Unmatched urls become singleton entities (their own node id). */
+    * hierarchy. The entity id is the MINIMUM URL of the cluster (collision-
+    * free by construction — urls are unique); unmatched urls become
+    * singleton entities (their own url). */
   def entities(pages: DataFrame, bIdx: Broadcast[Gazetteer.Index],
                cfg: Config = Config()): DataFrame = {
     val prepared = prepare(pages, cfg).persist()
     val sc = scored(prepared, cfg)
-    // node id is a pure function of url — recomputed, not carried through the
-    // pair join (smaller shuffle payload).
     val edges = sc.filter(col("is_match"))
-      .select(xxhash64(col("url_a")).as("src"), xxhash64(col("url_b")).as("dst"))
+      .select(col("url_a").as("src"), col("url_b").as("dst"))
     val comps = ConnectedComponents.run(edges)
 
     val withEntity = prepared
-      .join(comps.withColumnRenamed("id", "node_id"), Seq("node_id"), "left")
-      .withColumn("entity_id", coalesce(col("component"), col("node_id")))
+      .join(comps.withColumnRenamed("id", "url"), Seq("url"), "left")
+      .withColumn("entity_id", coalesce(col("component"), col("url")))
       .select("url", "extracted", "entity_id")
 
     // NOTE: `prepared` stays persisted — the returned DataFrame still reads

@@ -38,12 +38,26 @@ object Similarity {
   }
 
   /** Deterministic centroid sample: the `k` corpus rows with smallest
-    * xxhash64(id) (uniform, seedable, no RNG state). */
-  def centroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
-    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-        xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(k)
-      .select((row_number().over(Window.orderBy("h")) - 1).as("cell"), col("cvec"))
+    * xxhash64(id) (uniform, seedable, no RNG state). The top-k runs
+    * distributed (TakeOrderedAndProject); cell numbering happens on the
+    * DRIVER over exactly k rows — k is broadcast-sized by definition, and a
+    * global `Window.orderBy` here would emit the single-partition WindowExec
+    * warning on every bench run for no benefit. */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecType = corpus.schema(corpus.schema.fieldIndex(vecCol)).dataType
+    val top = corpus
+      .select(col(vecCol).as("cvec"), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(k).collect()
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i, r.get(0))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec", vecType)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   /** IVF-style ANN: assign corpus to nearest centroid cell, probe `nprobe`
     * cells per query. Output schema matches [[bruteForceTopK]]. */

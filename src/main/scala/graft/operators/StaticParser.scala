@@ -30,6 +30,12 @@ import graft.sources.Gazetteer
   */
 object StaticParser {
 
+  /** P7 `INDICATOR_TOKENS` (ref static_parser.py:47): the canonical keyword
+    * tokens after normalization. Declared-but-unused in the reference's parse
+    * path too; kept for API parity (the blocking/NER rules derive the same
+    * set independently). */
+  val IndicatorTokens: Set[String] = Set("mah", "cad", "sk")
+
   /** P3 `_best_match`: returns the best (name, start, end) or null fields.
     * Exact port of the ranking `(L, -i)` with `>` comparison (tuple order). */
   def bestMatch(

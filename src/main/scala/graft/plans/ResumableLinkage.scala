@@ -30,15 +30,16 @@ object ResumableLinkage {
       Linkage.scored(prepared, cfg)
     }
     val comps = Resumable.stage(spark, root, "components", fp) {
+      // cluster on the url strings themselves — a 64-bit hash node id
+      // collides (and silently merges entities) at 10^12-page scale
       ConnectedComponents.run(
         scored.filter(col("is_match"))
-          .select(xxhash64(col("url_a")).as("src"), xxhash64(col("url_b")).as("dst")))
+          .select(col("url_a").as("src"), col("url_b").as("dst")))
     }
     Resumable.stage(spark, root, "entities", fp) {
       val withEntity = prepared
-        .withColumn("node_id", xxhash64(col("url")))
-        .join(comps.withColumnRenamed("id", "node_id"), Seq("node_id"), "left")
-        .withColumn("entity_id", coalesce(col("component"), col("node_id")))
+        .join(comps.withColumnRenamed("id", "url"), Seq("url"), "left")
+        .withColumn("entity_id", coalesce(col("component"), col("url")))
         .select("url", "extracted", "entity_id")
       StaticParser.parse(withEntity, "extracted", bIdx)
         .select("url", "entity_id", "province", "district", "neighbourhood")

@@ -95,6 +95,26 @@ class LinkageSpec extends AnyFunSuite {
     assert(!m.contains(10L) || m(10L) == 10L) // self-loop dropped
   }
 
+  test("connected components on STRING node ids (url-scale collision safety)") {
+    // north-rule 10^12 pages: 64-bit hash ids collide ~2.7e4 times; the
+    // pipeline clusters on raw urls, so CC must be type-generic
+    val edges = Seq(("u/b", "u/a"), ("u/a", "u/c"), ("x/2", "x/1"))
+      .toDF("src", "dst")
+    val comps = ConnectedComponents.run(edges)
+    val m = comps.as[(String, String)].collect().toMap
+    assert(m("u/a") == "u/a" && m("u/b") == "u/a" && m("u/c") == "u/a")
+    assert(m("x/1") == "x/1" && m("x/2") == "x/1")
+  }
+
+  test("entity ids are urls (no hash-derived ids reach clustering)") {
+    val ents = Linkage.entities(pages, StaticParser.broadcastIndex(spark))
+    assert(ents.schema("entity_id").dataType.typeName == "string")
+    // every entity id is one of the member urls of its own cluster
+    val bad = ents.groupBy("entity_id").agg(collect_set("url").as("urls"))
+      .filter(!array_contains(col("urls"), col("entity_id"))).count()
+    assert(bad == 0, s"$bad entity ids are not member urls")
+  }
+
   test("salted candidate pairs equal unsalted pairs (skew correctness)") {
     val df = (0 until 300).map(i => (s"id$i%03d".format(i), s"k${i % 3}", s"payload$i"))
       .toDF("url", "block_key", "norm")
