@@ -268,6 +268,10 @@ object Queries {
     }),
     "q_bio_stats" -> ((s, dir) =>
       graft.sources.Bio.stats(graft.sources.Bio.synthesize(s, math.min(pagesFor(dir), 20000L)))),
+    "q_gold_eval" -> ((s, dir) =>
+      // per-type + micro PRF of the rule extractor on the reference's real
+      // gold corpora (the reference's own published-metric surface)
+      GoldEval.evaluate(s).orderBy("entity_type")),
     "q_goldset_classes" -> ((s, dir) => {
       val ex = Linkage.extract(Pages.synthesize(s, pagesFor(dir)).toDF())
       Goldset.tokenStats(Goldset.classify(ex, "extracted"), "extracted")

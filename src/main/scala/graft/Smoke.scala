@@ -71,6 +71,14 @@ object Smoke {
     NerOutputs.process(nerIn, "url", "norm", StaticParser.broadcastIndex(spark))
       .show(3, 80)
 
+    // BIO corpus (A2E + F2J blend) + distribution stats + gold-corpus eval.
+    import graft.operators.GoldEval
+    import graft.sources.Bio
+    val bio = Bio.synthesize(spark, 500)
+    Bio.stats(bio).show(1, 0, vertical = true)
+    val goldPrf = GoldEval.evaluate(spark)
+    goldPrf.show(20, false)
+
     // Resumable snapshot pipeline: run twice, second run must resume.
     import graft.plans.{ResumableLinkage, Snapshots}
     val root = java.nio.file.Files.createTempDirectory("smoke-snaps").toString

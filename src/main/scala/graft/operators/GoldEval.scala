@@ -1,0 +1,146 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TrText
+import graft.sources.Gazetteer
+
+/** Evaluation of the rule-based extractor against the reference's REAL gold
+  * corpora — the only quality numbers the reference publishes are exactly
+  * this evaluation (BERTurk notebook cells 26-28: entity micro F1 0.7492 for
+  * the stage-1 model on a 20-sample gold dev slice).
+  *
+  * Corpora (read-only, under /root/reference/data):
+  *  - goldset/goldset_1k_yegeb.conll — 239 sentences, header `raw, id, group`
+  *  - tugce_250.conll — 136 sentences, same header family (+ a stray ``` line)
+  *  - baris_250.conll — header `id,raw`; only the tagged blocks are usable
+  *
+  * The files carry real annotation noise (catalogued in SURVEY.md §5.4):
+  * bare `TARIF` labels without a B-/I- prefix, a `B-MAH` shorthand, a
+  * `B-IlCE` case typo, `B-BLOK`/`B-KAT_NO` strays, and dangling I- tags.
+  * [[normalizeTags]] folds all of that into well-formed BIO over the 13-type
+  * space; anything unknown becomes O (conservative — never invents spans).
+  *
+  * Token alignment: gold tokens are raw surface forms; predictions run on a
+  * PER-TOKEN canonicalization (static fold + keyword canon) so positions stay
+  * 1:1 with the gold annotation — a whole-string normalization would re-split
+  * tokens and make span offsets incomparable.
+  */
+object GoldEval {
+
+  val DefaultPaths: Seq[String] = Seq(
+    "/root/reference/data/goldset/goldset_1k_yegeb.conll",
+    "/root/reference/data/tugce_250.conll",
+    "/root/reference/data/baris_250.conll")
+
+  private val KnownTypes: Set[String] = graft.sources.Bio.EntityTypes.toSet
+
+  private val TypeAliases: Map[String, String] = Map(
+    "MAH" -> "MAHALLE", "BLOK" -> "BINA_ADI", "KAT_NO" -> "KAT")
+
+  // post-static-normalization keyword variant surfaces (N5-N7 families)
+  private val NbhdVariants = Set("mahalle", "mahallesi", "mahalesi", "mah", "mh", "mhl", "mahl", "mahal")
+  private val AvenueVariants = Set("cadde", "caddesi", "cadesi", "cad", "cd", "cadd")
+  private val StreetVariants = Set("sokak", "sokagi", "sokaga", "sokag", "sk", "sok", "sokk")
+
+  /** Per-token canonicalization into the parser's space: static fold (ascii
+    * lowercase, punctuation stripped) + keyword canon; multi-subtoken results
+    * (e.g. "no:7" → "no 7") keep the FIRST subtoken to preserve 1:1 positions. */
+  def canonToken(tok: String): String = {
+    val parts = TrText.normalizeStaticS(tok).split(" ").filter(_.nonEmpty)
+    if (parts.isEmpty) tok.toLowerCase(java.util.Locale.ROOT)
+    else {
+      val t = parts.head
+      if (NbhdVariants(t)) "mah"
+      else if (AvenueVariants(t)) "cad"
+      else if (StreetVariants(t)) "sk"
+      else t
+    }
+  }
+
+  /** True for strings that can be a gold label (possibly noisy). */
+  private def tagLike(s: String): Boolean = {
+    if (s == "O") return true
+    val tpe = if (s.startsWith("B-") || s.startsWith("I-")) s.drop(2) else s
+    KnownTypes(tpe.toUpperCase(java.util.Locale.ROOT)) ||
+      TypeAliases.contains(tpe.toUpperCase(java.util.Locale.ROOT))
+  }
+
+  /** Fold the catalogued label noise into well-formed BIO: alias + case-fix
+    * the type, unknown → O, and B/I chosen by run continuation (covers bare
+    * `TARIF` labels and dangling I- tags). */
+  def normalizeTags(raw: Array[String]): Array[String] = {
+    var prev = "O"
+    raw.map { r =>
+      val (pfx, tpe0) =
+        if (r.startsWith("B-") || r.startsWith("I-")) (r.charAt(0), r.drop(2))
+        else ('?', r)
+      val up = tpe0.toUpperCase(java.util.Locale.ROOT)
+      val tpe = TypeAliases.getOrElse(up, up)
+      val out =
+        if (r == "O" || !KnownTypes(tpe)) "O"
+        else if (pfx == 'B') s"B-$tpe"
+        else if (prev == tpe) s"I-$tpe" // I- or bare continuation of same type
+        else s"B-$tpe"                  // dangling I- / bare start → begin
+      prev = if (out == "O") "O" else tpe
+      out
+    }
+  }
+
+  /** Parse one gold file into (sent_id, tokens, well-formed BIO tags).
+    * Blocks are blank-line separated; the header line (any format) has ≠2
+    * whitespace fields or a non-tag second field, so it self-filters. */
+  def readGold(path: String, fileIdx: Int): Seq[(Long, Array[String], Array[String])] = {
+    val content = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    content.split("\n\\s*\n").toSeq.zipWithIndex.flatMap { case (blk, bi) =>
+      val pairs = blk.split("\n").map(_.trim).filter(_.nonEmpty).flatMap { l =>
+        val fs = l.split("\\s+")
+        if (fs.length == 2 && tagLike(fs(1))) Some((fs(0), fs(1))) else None
+      }
+      if (pairs.length < 2) None
+      else Some((fileIdx * 100000L + bi, pairs.map(_._1), normalizeTags(pairs.map(_._2))))
+    }
+  }
+
+  /** BIO tags → (type, start, end-exclusive) spans. */
+  def tagsToSpans(tags: Array[String]): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    var i = 0
+    while (i < tags.length) {
+      if (tags(i).startsWith("B-")) {
+        val t = tags(i).drop(2)
+        var j = i + 1
+        while (j < tags.length && tags(j) == s"I-$t") j += 1
+        out += ((t, i, j)); i = j
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** The evaluation: rule-based spans vs gold spans, per-type + micro PRF.
+    * Gold files are driver-read (3 tiny fixtures); sentences fan out as a
+    * Dataset so the extraction kernel runs distributed like production. */
+  def evaluate(spark: SparkSession, paths: Seq[String] = DefaultPaths): DataFrame = {
+    import spark.implicits._
+    val sents = paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }
+    val idx = StaticParser.broadcastIndex(spark)
+
+    val gold = sents.flatMap { case (sid, _, tags) =>
+      tagsToSpans(tags).map { case (t, s, e) => (sid, t, s, e) }
+    }.toDF("sent_id", "entity_type", "start", "end")
+
+    val pred = spark.createDataset(sents.map { case (sid, toks, _) => (sid, toks) })
+      .mapPartitions { it =>
+        val ix = idx.value
+        it.flatMap { case (sid, toks) =>
+          val canon = toks.map(canonToken)
+          NerOutputs.spans(canon, ix).map { case (t, s, e) => (sid, t, s, e) }
+        }
+      }.toDF("sent_id", "entity_type", "start", "end")
+
+    Eval.entityPRF(pred, gold)
+  }
+}

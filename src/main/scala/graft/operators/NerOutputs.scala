@@ -35,6 +35,19 @@ case class NerRow(url: String, norm: String, pred_tags: String,
   */
 object NerOutputs {
 
+  // Keyword anchors in their STATIC-NORMALIZED surface form (ascii-folded
+  // lowercase — "bulvarı"→"bulvari", "bloğu"→"blogu"); sources: the F2J
+  // generator's SITE/BLOK/APARTMAN/BULVAR keyword families
+  // (general_config.py:322-331) and the TARIF landmark categories (:388-452).
+  val SiteKw: Set[String] = Set(
+    "evleri", "sitesi", "rezidans", "residence", "tower", "plaza", "konutlari")
+  val BinaAdiKw: Set[String] = Set(
+    "blok", "blogu", "apartmani", "apartman", "apt", "apart")
+  val BulvarKw: Set[String] = Set("bulvari", "bulvar", "bulv", "blv")
+  val TarifKw: Set[String] = Set(
+    "hastanesi", "universitesi", "bakkali", "oteli", "avm",
+    "karsisi", "yani", "ustu", "girisi", "arkasi")
+
   /** Token spans (start token, end token exclusive, type) for one token array. */
   def spans(tokens: Array[String], idx: Gazetteer.Index): Seq[(String, Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
@@ -51,25 +64,66 @@ object NerOutputs {
         case None    => idx.distToNbhdUnion.getOrElse(d._1, Set.empty[String])
       }
     }
+    // gold annotation convention (goldset_1k_yegeb.conll): the keyword token
+    // belongs to the span — "Foça mahallesi" is B-MAHALLE I-MAHALLE. Extend
+    // the gazetteer name match over a following canonical "mah".
     StaticParser.bestMatch(tokens, idx.nbhdIndex, allowedN)
-      .foreach { case (_, s, e) => out += (("MAHALLE", s, e)) }
+      .foreach { case (_, s, e) =>
+        val e2 = if (e < tokens.length && tokens(e) == "mah") e + 1 else e
+        out += (("MAHALLE", s, e2))
+      }
+
+    def covered(k: Int): Boolean = out.exists { case (_, s, e) => s <= k && k < e }
+    def digits(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
 
     var i = 0
     while (i < tokens.length) {
       val t = tokens(i)
       // postcode: standalone 5-digit token
-      if (t.length == 5 && t.forall(_.isDigit)) out += (("POSTA_KODU", i, i + 1))
-      // street/avenue name: token before the canonical indicator
+      if (t.length == 5 && digits(t)) out += (("POSTA_KODU", i, i + 1))
+      // street/avenue: name + canonical indicator (the keyword is part of
+      // the span in the reference's annotation — "1004 sokak" is B-/I-SOKAK)
       if ((t == "sk" || t == "cad") && i > 0) {
         val tag = if (t == "sk") "SOKAK" else "CADDE"
-        val covered = out.exists { case (_, s, e) => s <= i - 1 && i - 1 < e }
-        if (!covered) out += ((tag, i - 1, i))
+        if (!covered(i - 1)) out += ((tag, i - 1, i + 1))
       }
-      // building number: digits after "no" (possibly "no : 12")
-      if (t == "no" && i + 1 < tokens.length) {
+      // boulevard: name + keyword (static-normalized surface forms)
+      if (NerOutputs.BulvarKw(t) && i > 0 && !covered(i - 1))
+        out += (("BULVAR", i - 1, i + 1))
+      // site/residence: name + keyword (F2J SITE_ADI family)
+      if (NerOutputs.SiteKw(t) && i > 0 && !covered(i - 1))
+        out += (("SITE_ADI", i - 1, i + 1))
+      // building name: blok/apartman keywords; "blok : A" keyword-first form
+      if (NerOutputs.BinaAdiKw(t)) {
+        if (t == "blok" && i + 2 < tokens.length && tokens(i + 1) == ":") {
+          // "blok : A94" normalizes to "blok : a 94" (N4 splits letter-digit
+          // boundaries) — absorb the trailing digit run into the label span
+          val end = if (i + 3 < tokens.length && digits(tokens(i + 3))) i + 4 else i + 3
+          out += (("BINA_ADI", i, end))
+        } else if (i > 0 && !covered(i - 1))
+          out += (("BINA_ADI", i - 1, i + 1))
+      }
+      // landmark/directions anchor (TARIF): name + anchor keyword
+      if (NerOutputs.TarifKw(t) && i > 0 && !covered(i - 1))
+        out += (("TARIF", i - 1, i + 1))
+      // floor: "kat : 3" / "kat 3"
+      if (t == "kat" && i + 1 < tokens.length) {
         val j = if (tokens(i + 1) == ":" && i + 2 < tokens.length) i + 2 else i + 1
-        if (j < tokens.length && tokens(j).forall(_.isDigit) && tokens(j).length <= 4)
-          out += (("BINA_NO", j, j + 1))
+        if (j < tokens.length && digits(tokens(j)) && tokens(j).length <= 3)
+          out += (("KAT", i, j + 1))
+      }
+      // flat: "daire[:] 5" / "d : 5"
+      if ((t == "daire" || (t == "d" && i + 1 < tokens.length && tokens(i + 1) == ":"))
+          && i + 1 < tokens.length) {
+        val j = if (tokens(i + 1) == ":" && i + 2 < tokens.length) i + 2 else i + 1
+        if (j < tokens.length && digits(tokens(j)) && tokens(j).length <= 3)
+          out += (("DAIRE_NO", i, j + 1))
+      }
+      // building number: "no[:] 12" — keyword + digits, like the annotation
+      if (t == "no" && i + 1 < tokens.length && !covered(i)) {
+        val j = if (tokens(i + 1) == ":" && i + 2 < tokens.length) i + 2 else i + 1
+        if (j < tokens.length && digits(tokens(j)) && tokens(j).length <= 4)
+          out += (("BINA_NO", i, j + 1))
       }
       i += 1
     }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TrText
-import graft.operators.{Eval, Goldset, Linkage, NerOutputs, StaticParser}
+import graft.operators.{Eval, GoldEval, Goldset, Linkage, NerOutputs, StaticParser}
 import graft.sources.{Bio, Gazetteer, Pages}
 
 class NerBioSpec extends AnyFunSuite {
@@ -22,9 +22,10 @@ class NerBioSpec extends AnyFunSuite {
     val byType = sps.map { case (t, s, e) => t -> tokens.slice(s, e).mkString(" ") }.toMap
     assert(byType("IL") == "istanbul")
     assert(byType("ILCE") == "kadikoy")
-    assert(byType("MAHALLE") == "caferaga")
+    // spans follow the gold annotation convention: keyword inside the span
+    assert(byType("MAHALLE") == "caferaga mah")
     assert(byType("POSTA_KODU") == "34710")
-    assert(byType("BINA_NO") == "12")
+    assert(byType("BINA_NO") == "no : 12")
 
     val tags = NerOutputs.spansToBio(tokens.length, sps)
     assert(tags.length == tokens.length)
@@ -78,7 +79,8 @@ class NerBioSpec extends AnyFunSuite {
           assert(i > 0 && (s.tags(i - 1).endsWith(t.drop(2)) && s.tags(i - 1) != "O"),
             s"dangling $t in ${s.tags.mkString(",")}")
       }
-      assert(s.tags.contains("B-MAHALLE") && s.tags.contains("B-POSTA_KODU"))
+      if (s.group == "A2E")
+        assert(s.tags.contains("B-MAHALLE") && s.tags.contains("B-POSTA_KODU"))
     }
     // determinism
     val again = Bio.synthesize(spark, 200).collect()
@@ -90,12 +92,127 @@ class NerBioSpec extends AnyFunSuite {
     assert(back.length == 200)
     back.zip(rows.sortBy(_.sample_id)).foreach { case (b, o) =>
       assert(b.tokens.sameElements(o.tokens) && b.tags.sameElements(o.tags))
-      assert(b.group == "A2E")
+      assert(b.group == o.group)
     }
-    // S8 stats
+    // S8 stats (named access — the battery is wide)
     val st = Bio.stats(ds).collect()(0)
-    assert(st.getLong(0) == 200 && st.getLong(5) == 200) // n, n_postcode
+    assert(st.getAs[Long]("n") == 200)
+    assert(st.getAs[Long]("n_a2e") + st.getAs[Long]("n_f2j") == 200)
+    // every A2E sample carries a postcode; F2J only sometimes
+    assert(st.getAs[Long]("n_posta_kodu") >= st.getAs[Long]("n_a2e"))
     ds.unpersist()
+  }
+
+  test("S5/S6 F2J generator covers the full 13-type label space; S8 battery") {
+    val ds = Bio.synthesize(spark, 3000).persist()
+    val rows = ds.collect()
+    // BIO well-formedness holds for BOTH generator families
+    rows.foreach { s =>
+      s.tags.zipWithIndex.foreach { case (t, i) =>
+        if (t.startsWith("I-"))
+          assert(i > 0 && s.tags(i - 1).endsWith(t.drop(2)) && s.tags(i - 1) != "O",
+            s"dangling $t in [${s.group}] ${s.tags.mkString(",")}")
+      }
+    }
+    val allTags = rows.flatMap(_.tags).toSet
+    Bio.EntityTypes.foreach { t =>
+      assert(allTags.contains(s"B-$t"), s"type $t never emitted")
+    }
+    // F2J blend ≈ 12%
+    val f2j = rows.count(_.group == "F2J")
+    assert(f2j == 3000 * 3 / 25, s"F2J blend $f2j")
+
+    // noise injector: noisy samples end with a country token and carry the
+    // minimum separator count (≥3 A2E / ≥4 F2J) as O tokens
+    val country = Set("tr", "türkiye")
+    val noisy = rows.filter(s => s.tags.last == "O" && country(s.tokens.last.toLowerCase(
+      java.util.Locale.forLanguageTag("tr"))))
+    assert(noisy.length >= 100, s"only ${noisy.length} noisy samples of 3000")
+    def sepCount(s: graft.sources.BioSample) = s.tokens.zip(s.tags).count {
+      case (tk, tg) => tg == "O" && Set("-", "/", "|")(tk) }
+    // A2E always has ≥5 B- boundaries → the ≥3 minimum is always reachable
+    noisy.filter(_.group == "A2E").foreach { s =>
+      assert(sepCount(s) >= 3, s"only ${sepCount(s)} separators: ${s.tokens.mkString(" ")}")
+    }
+    // F2J: the BIO-safe injector can only insert before B-/O tokens, so a
+    // TARIF-only sample (one B-, all I-) may not reach 4 — assert the bulk does
+    val f2jNoisy = noisy.filter(_.group == "F2J")
+    assert(f2jNoisy.nonEmpty)
+    assert(f2jNoisy.count(sepCount(_) >= 4) * 2 >= f2jNoisy.length,
+      s"most F2J noisy samples missed the 4-separator minimum")
+
+    // S8 battery sanity: breakdowns partition their families
+    val st = Bio.stats(ds).collect()(0)
+    def g(c: String) = st.getAs[Long](c)
+    assert(g("cad_and_sk") + g("cad_only") + g("sk_only") <= g("n"))
+    assert(g("district_first") + g("province_first") <=
+      math.min(g("n_il"), g("n_ilce")))
+    assert(g("postcode_before_admin") + g("postcode_after_admin") <= g("n_posta_kodu"))
+    assert(g("nbhd_bare") + g("nbhd_with_kw") == g("n_mahalle"))
+    assert(g("noise_tail") >= noisy.length) // country tail may also come from ref-style O tails
+    Seq("n_site_adi", "n_bina_adi", "n_bulvar", "n_tarif", "n_kat", "n_daire_no")
+      .foreach(c => assert(g(c) > 0, s"$c is zero"))
+    ds.unpersist()
+  }
+
+  test("NER extraction covers the F2J types (SITE_ADI/BINA_ADI/BULVAR/TARIF/KAT/DAIRE_NO)") {
+    // "Turgut Özal": not a gazetteer name — a gazetteer admin hit (e.g.
+    // "Atatürk" is a Bornova neighbourhood) would cover the name token first
+    val norm = TrText.normalizeStaticS(
+      "Folkart sitesi B blok daire: 3 Turgut Özal bulvarı kat: 2 Migros market karşısı")
+    val tokens = norm.split(" ")
+    val sps = NerOutputs.spans(tokens, idx)
+    val byType = sps.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map { case (_, s, e) => tokens.slice(s, e).mkString(" ") } }
+    assert(byType("SITE_ADI").contains("folkart sitesi"), byType.toString)
+    assert(byType("BINA_ADI").contains("b blok"))
+    assert(byType("DAIRE_NO").contains("daire : 3"))
+    assert(byType("BULVAR").contains("ozal bulvari"))
+    assert(byType("KAT").contains("kat : 2"))
+    assert(byType("TARIF").exists(_.contains("karsisi")))
+    // keyword-first blok form
+    val norm2 = TrText.normalizeStaticS("Ege Perla rezidans blok: A94 d: 17")
+    val t2 = norm2.split(" ")
+    val by2 = NerOutputs.spans(t2, idx).groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map { case (_, s, e) => t2.slice(s, e).mkString(" ") } }
+    assert(by2("BINA_ADI").contains("blok : a 94"), by2.toString)
+    assert(by2("DAIRE_NO").contains("d : 17"))
+    assert(by2("SITE_ADI").contains("perla rezidans"))
+  }
+
+  test("gold-corpus eval: reference gold CoNLL files load and score") {
+    // the three real annotated corpora shipped with the reference
+    val yegeb = GoldEval.readGold(GoldEval.DefaultPaths(0), 0)
+    val tugce = GoldEval.readGold(GoldEval.DefaultPaths(1), 1)
+    val baris = GoldEval.readGold(GoldEval.DefaultPaths(2), 2)
+    info(s"sentences: yegeb=${yegeb.length} tugce=${tugce.length} baris=${baris.length}")
+    assert(yegeb.length >= 200 && tugce.length >= 100)
+    // every loaded sentence is well-formed BIO after noise folding
+    (yegeb ++ tugce ++ baris).foreach { case (sid, toks, tags) =>
+      assert(toks.length == tags.length)
+      tags.zipWithIndex.foreach { case (t, i) =>
+        if (t.startsWith("I-"))
+          assert(i > 0 && tags(i - 1).endsWith(t.drop(2)) && tags(i - 1) != "O",
+            s"dangling $t in sent $sid")
+      }
+    }
+    // label noise is folded: the documented strays never survive
+    val allTags = (yegeb ++ tugce ++ baris).flatMap(_._3).toSet
+    assert(allTags.forall(t => t == "O" ||
+      graft.sources.Bio.EntityTypes.contains(t.drop(2))), allTags.toString)
+
+    val prf = GoldEval.evaluate(spark).persist()
+    val micro = prf.filter(col("entity_type") === "__micro__")
+      .select("precision", "recall", "f1", "n_gold")
+      .as[(Double, Double, Double, Long)].head()
+    info(f"rule-based extractor on gold: P=${micro._1}%.4f R=${micro._2}%.4f F1=${micro._3}%.4f over ${micro._4} gold entities")
+    prf.orderBy("entity_type").collect().foreach(r => info(r.toString))
+    assert(micro._4 >= 1000, s"only ${micro._4} gold entities loaded")
+    // honest rule-based floor: measured 0.600 micro F1 (P .80 / R .48) with
+    // spans aligned to the gold convention; the reference's fine-tuned BERT
+    // reports 0.7492 on a 20-sample slice. Regression gate at 0.5.
+    assert(micro._3 >= 0.5, f"gold micro F1 ${micro._3}%.4f regressed")
+    prf.unpersist()
   }
 
   test("entity-level PRF (V2): self-eval is perfect; perturbed eval degrades") {
