@@ -31,8 +31,8 @@ object Bench {
     "q_token_count", "q_lang_id", "q_quality",
     "q_dedup_exact", "q_dedup_bow", "q_minhash_pairs", "q_simhash_pairs",
     "q_ngram_jaccard", "q_ann_topk", "q_ann_ivf",
-    "q_pages_extract", "q_ner_outputs", "q_scored_pairs", "q_entities",
-    "q_linkage_f1")
+    "q_pages_extract", "q_parse_full_gaz", "q_ner_outputs", "q_scored_pairs",
+    "q_entities", "q_linkage_f1")
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"

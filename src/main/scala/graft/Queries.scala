@@ -247,6 +247,13 @@ object Queries {
           StaticParser.broadcastIndex(s))
         .select("url", "province", "district", "neighbourhood").orderBy("url")
     }),
+    "q_parse_full_gaz" -> ((s, dir) => {
+      // hierarchical parse against the reference-scale (73,305-row) gazetteer
+      val prep = Linkage.extract(Pages.synthesize(s, pagesFor(dir)).toDF())
+      StaticParser.parse(prep.select("url", "extracted"), "extracted",
+          StaticParser.broadcastIndex(s, Gazetteer.rowsFull))
+        .select("url", "province", "district", "neighbourhood").orderBy("url")
+    }),
     "q_block_stats" -> ((s, dir) =>
       Linkage.prepare(Pages.synthesize(s, pagesFor(dir)).toDF())
         .groupBy("block_key").agg(count(lit(1)).as("n")).orderBy("block_key")),

@@ -46,6 +46,11 @@ object Smoke {
     val parsed = StaticParser.parse(addrs, "addr", StaticParser.broadcastIndex(spark))
     parsed.show(false)
     println(s"[smoke] gazetteer rows=${Gazetteer.rows.size} parsed_rows=${parsed.count()}")
+    // reference-scale (PTT 73,305-row) gazetteer index
+    val full = Gazetteer.rowsFull
+    val parsedFull = StaticParser.parse(addrs, "addr",
+      StaticParser.broadcastIndex(spark, full))
+    println(s"[smoke] full gazetteer rows=${full.size} parsed_rows=${parsedFull.count()}")
 
     // Full record-linkage pipeline on synthesized pages (the flagship path):
     // synthesize → extract → normalize → block → pair → score → cluster.

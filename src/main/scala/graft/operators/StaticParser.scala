@@ -141,6 +141,11 @@ object StaticParser {
   def broadcastIndex(spark: SparkSession): Broadcast[Gazetteer.Index] =
     spark.sparkContext.broadcast(Gazetteer.buildIndex())
 
+  /** Broadcast an index over arbitrary gazetteer rows (e.g. the 73k-row
+    * reference-scale table, [[Gazetteer.rowsFull]]). */
+  def broadcastIndex(spark: SparkSession, rows: Seq[graft.sources.GazRow]): Broadcast[Gazetteer.Index] =
+    spark.sparkContext.broadcast(Gazetteer.buildIndex(rows))
+
   /** Top-`limit` closest gazetteer keys for a target string, ranked by the
     * reference's composite score `(contains, startswith, common-tokens,
     * -length)` (ref test/test_static_parser.py:63-71). */

@@ -73,7 +73,90 @@ object Gazetteer {
       }
     }
 
-  /** G1/G2: the gazetteer as a DataFrame (tiny ⇒ broadcast everywhere). */
+  // ------------------- reference-scale synthesized gazetteer ----------------
+
+  /** The reference's real gazetteer is the 73,305-row PTT xlsx
+    * (data/ptt_data/map.py:82-88); the 41-row pool gazetteer above cannot
+    * exercise parser candidate density, broadcast-index size, or first-token
+    * bucket collisions at that scale. [[rowsFull]] expands combinatorially
+    * (already in normalized form — the parts are canonical ascii lowercase)
+    * to exactly the PTT row count: 81 provinces × 12 districts × ~75
+    * neighbourhoods, with deliberately shared first tokens (two-token names
+    * "yesil tepe" / "yesil dere" land in one index bucket, like the real
+    * table's "yeni X" families).
+    *
+    * Generated first tokens are disjoint from the pool gazetteer's names and
+    * the reference test-case vocabulary, so all reference parser cases
+    * resolve identically against the merged index (GazScaleSpec asserts it). */
+  private val GenPrefix: IndexedSeq[String] = IndexedSeq(
+    "yesil", "karli", "tasli", "kumlu", "sazli", "dagli", "soguk", "derin",
+    "uzunlu", "sarpli", "genisli", "ulucak", "karaca", "akca", "bozca", "gokce",
+    "demirli", "bakirli", "tunclu", "altinli", "gumuslu", "kayali", "camli",
+    "meseli", "kavakli", "ihlamur", "sogutlu", "cinarli", "ardicli", "fundali",
+    "begonya", "sarmasik")
+  private val GenSuffix: IndexedSeq[String] = IndexedSeq(
+    "koy", "tepe", "dere", "pinar", "yaka", "oba", "yurt", "kent", "cesme",
+    "hisar", "oren", "yazi", "alan", "belen", "cayir", "bag", "burun", "agac",
+    "tas", "yolu", "han", "konak", "saray", "bahce", "duzu", "sirti", "kuyu",
+    "golu", "ova", "yayla")
+
+  /** Third name component: 80 syllables → 32×30×80 = 76,800 distinct
+    * combinations (the PTT table has ~50k+ distinct neighbourhood names; a
+    * 2-part scheme tops out at 960 distinct strings and the DEDUPLICATED
+    * token index would stay unrealistically sparse). */
+  private val GenTail: IndexedSeq[String] =
+    (for { c <- "bcdfgklmnprstvyz"; v <- "aeiou" } yield s"$c$v").toIndexedSeq
+
+  private def part2(i: Int): String =
+    GenSuffix((i / GenPrefix.size) % GenSuffix.size) +
+      GenTail((i / (GenPrefix.size * GenSuffix.size)) % GenTail.size)
+  private def fused(i: Int): String = GenPrefix(i % GenPrefix.size) + part2(i)
+  private def twoToken(i: Int): String = GenPrefix(i % GenPrefix.size) + " " + part2(i)
+
+  /** PTT-scale gazetteer: the pool rows plus a deterministic combinatorial
+    * expansion to exactly 73,305 rows (the reference xlsx row count). */
+  lazy val rowsFull: Seq[GazRow] = {
+    val target = 73305
+    val poolProvs = RawPools.map(_._1).distinct // 6
+    val nProv = 81
+    val distPerProv = 12
+    val provNames: IndexedSeq[String] =
+      poolProvs.map(TrText.normalizeStaticS).toIndexedSeq ++
+        (0 until (nProv - poolProvs.size)).map(i => fused(i))
+
+    // districts: pool districts stay attached to their pool provinces; every
+    // province is padded with generated districts up to distPerProv
+    val poolDistsByProv: Map[String, Seq[String]] =
+      RawPools.groupBy(p => TrText.normalizeStaticS(p._1))
+        .map { case (p, g) => p -> g.map(x => TrText.normalizeStaticS(x._2)).distinct }
+    // GENERATED districts only — pool (province, district) pairs keep exactly
+    // their pool neighbourhood sets, so every parser restriction the
+    // reference cases exercise is byte-identical against the merged index
+    var dCounter = 100 // offset so district names differ from province names
+    val genDistricts: IndexedSeq[(String, String)] = provNames.flatMap { p =>
+      val nPool = poolDistsByProv.getOrElse(p, Nil).size
+      (nPool until distPerProv).map { _ =>
+        dCounter += 1; (p, fused(dCounter))
+      }
+    }
+
+    // neighbourhoods: fill to the exact target; ~60% fused single-token,
+    // ~40% two-token names sharing first tokens (index-bucket stress)
+    val nGen = target - rows.size
+    val perDist = nGen / genDistricts.size
+    val extra = nGen - perDist * genDistricts.size
+    var h = 0
+    val gen = genDistricts.zipWithIndex.flatMap { case ((p, d), di) =>
+      val n = perDist + (if (di < extra) 1 else 0)
+      (0 until n).map { k =>
+        h += 1
+        val name = if (k % 5 < 3) fused(h) else twoToken(h)
+        val pc = f"${10 + (provNames.indexOf(p) % 71)}%02d${(di * 7 + k) % 1000}%03d"
+        GazRow(p, d, name, pc)
+      }
+    }
+    rows ++ gen
+  }
   def dataFrame(spark: SparkSession): DataFrame = {
     import spark.implicits._
     rows.toDF()
