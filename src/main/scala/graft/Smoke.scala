@@ -84,6 +84,19 @@ object Smoke {
     val goldPrf = GoldEval.evaluate(spark)
     goldPrf.show(20, false)
 
+    // Incremental streaming linkage: second batch re-pairs only its blocks.
+    import graft.streaming.IncrementalLinkage
+    val incAll = Pages.synthesize(spark, 600).toDF()
+    val incA = incAll.filter(Pages.goldEntityId(col("url")) < 100)
+    val incB = incAll.filter(Pages.goldEntityId(col("url")) >= 100)
+    val inc1 = IncrementalLinkage.step(
+      Linkage.prepare(incA).limit(0),
+      spark.emptyDataset[graft.operators.ScoredPair](
+        org.apache.spark.sql.Encoders.product[graft.operators.ScoredPair]).toDF(), incA)
+    val inc2 = IncrementalLinkage.step(inc1.prepared, inc1.scored, incB)
+    println(s"[smoke] incremental: batch2 changed_blocks=${inc2.changedBlocks} " +
+      s"rescored=${inc2.pairsRescored} total_state=${inc2.scored.count()}")
+
     // Resumable snapshot pipeline: run twice, second run must resume.
     import graft.plans.{ResumableLinkage, Snapshots}
     val root = java.nio.file.Files.createTempDirectory("smoke-snaps").toString

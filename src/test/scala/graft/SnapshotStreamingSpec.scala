@@ -117,4 +117,61 @@ class SnapshotStreamingSpec extends AnyFunSuite {
     assert(spark.table("blockstats").columns.toSeq ==
       Seq("bucket", "block_key", "n_pages"))
   }
+
+  test("incremental linkage step: second batch re-scores ONLY its blocks") {
+    import graft.streaming.IncrementalLinkage
+    val all = Pages.synthesize(spark, 900).toDF().persist()
+    val a = all.filter(Pages.goldEntityId(col("url")) < 200)
+    val b = all.filter(Pages.goldEntityId(col("url")) >= 200)
+
+    val emptyPrepared = Linkage.prepare(a).limit(0) // right schema, no rows
+    val emptyScored = spark.emptyDataset[graft.operators.ScoredPair].toDF()
+    val s1 = IncrementalLinkage.step(emptyPrepared, emptyScored, a)
+    val s2 = IncrementalLinkage.step(s1.prepared, s1.scored, b)
+
+    // correctness: incremental state == full recompute over A ∪ B
+    val full = Linkage.scored(Linkage.prepare(all))
+      .select("url_a", "url_b", "score", "is_match")
+    val inc = s2.scored.select("url_a", "url_b", "score", "is_match")
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "incremental scored state diverged from full recompute")
+
+    // efficiency: only blocks touched by batch B were re-scored
+    val changedKeys = Linkage.prepare(b).select("block_key").distinct()
+    val untouched = s1.scored.join(changedKeys, Seq("block_key"), "left_anti")
+    val rescored = s2.pairsRescored
+    val fullPairs = full.count()
+    info(s"batch2: changed_blocks=${s2.changedBlocks} rescored_pairs=$rescored " +
+      s"carried=${untouched.count()} full_recompute_pairs=$fullPairs")
+    assert(rescored < fullPairs, "second batch re-scored the whole corpus")
+    // every carried pair appears verbatim in the new state
+    assert(untouched.except(s2.scored).count() == 0)
+    all.unpersist()
+  }
+
+  test("incremental linkage streaming driver: two micro-batches, resumed state") {
+    import graft.streaming.IncrementalLinkage
+    val inDir = tmpDir("inc-in")
+    val stateDir = tmpDir("inc-state")
+    val ckpt = tmpDir("inc-ckpt")
+    val all = Pages.synthesize(spark, 600).toDF().persist()
+    val a = all.filter(Pages.goldEntityId(col("url")) < 120)
+    val b = all.filter(Pages.goldEntityId(col("url")) >= 120)
+
+    // file-source streams list top-level files: append into inDir directly
+    a.write.mode("append").parquet(inDir)
+    IncrementalLinkage.run(spark, inDir, stateDir, ckpt).awaitTermination()
+    b.write.mode("append").parquet(inDir)
+    IncrementalLinkage.run(spark, inDir, stateDir, ckpt).awaitTermination()
+
+    // batch ids 0 and 1 committed; final state equals the full recompute
+    assert(new java.io.File(s"$stateDir/scored_0/_SUCCESS").exists())
+    assert(new java.io.File(s"$stateDir/scored_1/_SUCCESS").exists())
+    val inc = spark.read.parquet(s"$stateDir/scored_1")
+      .select("url_a", "url_b", "score", "is_match")
+    val full = Linkage.scored(Linkage.prepare(all))
+      .select("url_a", "url_b", "score", "is_match")
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0)
+    all.unpersist()
+  }
 }
