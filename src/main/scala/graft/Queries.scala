@@ -29,6 +29,21 @@ object Queries {
   def pagesFor(dir: String): Long =
     if (dir.contains("sf0.1")) 60000L else if (dir.contains("sf0.01")) 6000L else 1800L
 
+  /** Fixed classifier fixture: one address per class A–J (all single-spaced,
+    * so the oracle's space-anchored Turkish-keyword patterns are exact).
+    * Declared BEFORE impls/oracles — both capture it at object init. */
+  val GoldsetFixture: Seq[String] = Seq(
+    "Erzene mahallesi 123 sokak Gazi caddesi no:4", // A
+    "Erzene mah 123 sk no:4",                       // B
+    "Erzene mahalle Gazi cadde 5",                  // C
+    "Erzene mah 123 sokak",                         // D
+    "Erzene mahallesi",                             // E
+    "Folkart sitesi B blok",                        // F
+    "Folkart sitesi B blok daire 3",                // G
+    "Gazi caddesi 12",                              // H
+    "Okul yanı Erzene mah",                         // I
+    "hic bir sey yok burada")                       // J
+
   // ------------------------------------------------------------------------
   // Spark implementations
   // ------------------------------------------------------------------------
@@ -283,6 +298,13 @@ object Queries {
       val ex = Linkage.extract(Pages.synthesize(s, pagesFor(dir)).toDF())
       Goldset.tokenStats(Goldset.classify(ex, "extracted"), "extracted")
     }),
+    "q_goldset_fixture" -> ((s, dir) => {
+      // classifier over a fixed address fixture covering every class A–J —
+      // DuckDB-oracled (the VALUES twin runs the same priority CASE in RE2)
+      import s.implicits._
+      Goldset.classify(GoldsetFixture.toDF("addr"), "addr")
+        .select("addr", "gold_class").orderBy("addr")
+    }),
     "q_linkage_f1" -> ((s, dir) => {
       val sc = Linkage.scored(Linkage.prepare(Pages.synthesize(s, pagesFor(dir)).toDF()))
       val gold = sc.select(col("url_a"), col("url_b"),
@@ -383,6 +405,46 @@ object Queries {
         | FROM documents)
         |SELECT doc_id, bow_hash, min(doc_id) OVER (PARTITION BY bow_hash) AS rep_id
         |FROM h ORDER BY doc_id""".stripMargin,
+    // token offsets: documents are single-space tokenized (verified corpus
+    // property), so start = windowed Σ(len+1) of preceding tokens; the Spark
+    // side's instr-fold handles arbitrary whitespace and must agree here
+    "q_tokens_offsets" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+        |t AS (SELECT doc_id, unnest(ls) AS tok,
+        |  CAST(generate_subscripts(ls, 1) - 1 AS INTEGER) AS pos FROM l),
+        |o AS (SELECT doc_id, pos, tok,
+        |  CAST(coalesce(sum(len(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS "start" FROM t)
+        |SELECT doc_id, pos, tok, "start", CAST("start" + len(tok) AS INTEGER) AS "end"
+        |FROM o ORDER BY doc_id, pos""".stripMargin,
+    // classifier fixture: same priority CASE over the same VALUES; Turkish
+    // keywords use space-anchored groups (RE2 \b is ASCII-only)
+    "q_goldset_fixture" -> {
+      val values = GoldsetFixture.map(a => s"('$a')").mkString(",\n ")
+      s"""WITH a(addr) AS (VALUES\n $values),
+         |m AS (SELECT addr,
+         | regexp_matches(addr, '\\bmah(alle(si)?)?\\b|\\bmh\\b', 'i') AS nbhd,
+         | regexp_matches(addr, '\\bsok(ak)?\\b|\\bsk\\b', 'i') AS street,
+         | regexp_matches(addr, '\\bcad(de(si)?)?\\b|\\bcd\\b', 'i') AS avenue,
+         | regexp_matches(addr, '(^| )(bulvarı?|blv)( |$$)', 'i') AS blvd,
+         | regexp_matches(addr, '\\bsite(si)?\\b|\\bblok\\b|\\bapartman\\b|\\bplaza\\b', 'i') AS site,
+         | regexp_matches(addr, '\\bno\\s*[:.]?\\s*\\d+', 'i') AS bno,
+         | regexp_matches(addr, '\\bdaire\\b|\\bd\\s*[:.]\\s*\\d+|\\bkat\\b', 'i') AS flat,
+         | regexp_matches(addr, '(^| )(karşısı|yanı|arkası|yakını?)( |$$)', 'i') AS tarif
+         | FROM a)
+         |SELECT addr, CASE
+         | WHEN tarif THEN 'I'
+         | WHEN site AND flat THEN 'G'
+         | WHEN site THEN 'F'
+         | WHEN nbhd AND avenue AND street THEN 'A'
+         | WHEN nbhd AND street AND bno THEN 'B'
+         | WHEN nbhd AND avenue THEN 'C'
+         | WHEN nbhd AND street THEN 'D'
+         | WHEN nbhd THEN 'E'
+         | WHEN street OR avenue OR blvd THEN 'H'
+         | ELSE 'J' END AS gold_class
+         |FROM m ORDER BY addr""".stripMargin
+    },
     "q_ann_threshold" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         | round(list_cosine_similarity(q.embedding, c.embedding), 2) AS cos
