@@ -76,6 +76,14 @@ object Smoke {
     NerOutputs.process(nerIn, "url", "norm", StaticParser.broadcastIndex(spark))
       .show(3, 80)
 
+    // Multimodal: real PNG/BMP image assets, batched decode kernel.
+    import graft.operators.Multimodal
+    val media = Multimodal.synthesize(spark, 200)
+    val mf = Multimodal.extractFeatures(media)
+    println(s"[smoke] media assets=200 decoded=${mf.count()} " +
+      s"image_ok=${mf.toDF().alias("f").join(media.toDF().alias("a"), col("f.media_id") === col("a.media_id"))
+        .filter(col("a.kind") === "image" && col("f.width") === col("a.width")).count()}")
+
     // BIO corpus (A2E + F2J blend) + distribution stats + gold-corpus eval.
     import graft.operators.GoldEval
     import graft.sources.Bio

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ImageCodec
 import graft.sources.Pages
 
 /** One media asset: opaque bytes + typed metadata (multimodal columns are
@@ -19,37 +20,53 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
   * as opaque `binary` columns with typed metadata, and a batched
   * decode/feature-extract kernel.
   *
-  * The Spark-side shape is the real thing — schema, partitioning, batched
-  * mapPartitions kernel (the Scala twin of a `mapInPandas` batch UDF) — while
-  * the codec itself is a STUB: this container has no image/audio libraries,
-  * so `decodeStub` parses a deterministic 16-byte fake header and synthesizes
-  * features from the payload bytes. Swapping in a real decoder changes ONE
-  * function; nothing in the plan shape moves.
+  * IMAGE assets are REAL files: synthesis writes spec-valid PNG/BMP bytes
+  * ([[graft.functions.ImageCodec]] — zlib IDAT, CRC32 chunks, padded BMP
+  * rows) and extraction parses the genuine headers (PNG/BMP/GIF/JPEG all
+  * supported, validated against a real-world PNG in tests). AUDIO/VIDEO
+  * codecs remain a declared stub (deterministic 16-byte GRFT header) — the
+  * container ships no media libraries — but the Spark-side shape (schema,
+  * partitioning, batched kernel) is identical for both paths, so swapping a
+  * real A/V codec changes one function.
   */
 object Multimodal {
 
   val Kinds = IndexedSeq("image", "audio", "video")
 
-  /** Deterministic fake asset: 16-byte header (magic, kind, w, h, rate) +
-    * hash-generated payload. */
+  /** Deterministic asset: images are real PNG/BMP files; audio/video carry
+    * the GRFT stub header + hash payload. */
   def assetOf(seed: Long, id: Long): MediaAsset = {
     val kind = Kinds(((Pages.rng(seed, id, 40) >>> 1) % Kinds.length).toInt)
-    val w = 16 + ((Pages.rng(seed, id, 41) >>> 1) % 240).toInt
-    val h = 16 + ((Pages.rng(seed, id, 42) >>> 1) % 240).toInt
-    val rate = if (kind == "audio") 8000 + ((Pages.rng(seed, id, 43) >>> 1) % 40000).toInt else 0
-    val payloadLen = 64 + ((Pages.rng(seed, id, 44) >>> 1) % 192).toInt
-    val bytes = new Array[Byte](16 + payloadLen)
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    bb.putInt(0x47524654) // "GRFT"
-    bb.put(Kinds.indexOf(kind).toByte)
-    bb.put(0.toByte)
-    bb.putShort(w.toShort)
-    bb.putShort(h.toShort)
-    bb.putInt(rate)
-    bb.putShort(0.toShort)
-    var i = 0
-    while (i < payloadLen) { bytes(16 + i) = (Pages.rng(seed, id, 45 + i / 8) >>> ((i % 8) * 8)).toByte; i += 1 }
-    MediaAsset(id, kind, bytes, w, h, rate)
+    if (kind == "image") {
+      val w = 8 + ((Pages.rng(seed, id, 41) >>> 1) % 32).toInt
+      val h = 8 + ((Pages.rng(seed, id, 42) >>> 1) % 32).toInt
+      val base = (Pages.rng(seed, id, 46) >>> 1).toInt
+      def pixel(x: Int, y: Int): Int = {
+        val v = (base + x * 13 + y * 7) & 0xff
+        (v << 16) | (((v + 85) & 0xff) << 8) | ((v + 170) & 0xff)
+      }
+      val bytes =
+        if ((Pages.rng(seed, id, 47) & 1) == 0) ImageCodec.encodePng(w, h, pixel)
+        else ImageCodec.encodeBmp(w, h, pixel)
+      MediaAsset(id, kind, bytes, w, h, 0)
+    } else {
+      val w = 16 + ((Pages.rng(seed, id, 41) >>> 1) % 240).toInt
+      val h = 16 + ((Pages.rng(seed, id, 42) >>> 1) % 240).toInt
+      val rate = if (kind == "audio") 8000 + ((Pages.rng(seed, id, 43) >>> 1) % 40000).toInt else 0
+      val payloadLen = 64 + ((Pages.rng(seed, id, 44) >>> 1) % 192).toInt
+      val bytes = new Array[Byte](16 + payloadLen)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.putInt(0x47524654) // "GRFT"
+      bb.put(Kinds.indexOf(kind).toByte)
+      bb.put(0.toByte)
+      bb.putShort(w.toShort)
+      bb.putShort(h.toShort)
+      bb.putInt(rate)
+      bb.putShort(0.toShort)
+      var i = 0
+      while (i < payloadLen) { bytes(16 + i) = (Pages.rng(seed, id, 45 + i / 8) >>> ((i % 8) * 8)).toByte; i += 1 }
+      MediaAsset(id, kind, bytes, w, h, rate)
+    }
   }
 
   /** Media table synthesis (seeded range kernel, like [[Pages]]). */
@@ -58,23 +75,30 @@ object Multimodal {
     spark.range(n).mapPartitions(_.map(id => assetOf(seed, id)))
   }
 
-  /** STUB decoder — deterministic stand-in for the real codec. Parses the
-    * fake header and derives an 8-dim feature from payload byte statistics. */
-  def decodeStub(media: Array[Byte]): (Int, Int, Int, Int, Array[Float]) = {
-    val bb = java.nio.ByteBuffer.wrap(media)
-    require(bb.getInt() == 0x47524654, "bad magic")
-    val kindIdx = bb.get(); bb.get()
-    val w = bb.getShort().toInt
-    val h = bb.getShort().toInt
-    val rate = bb.getInt(); bb.getShort()
-    val frames = if (kindIdx == 2) 1 + (media.length - 16) / 32 else 1
-    val feat = new Array[Float](8)
-    var i = 16
-    while (i < media.length) { feat((i - 16) % 8) += (media(i) & 0xff) / 255.0f; i += 1 }
-    val n = (media.length - 16).max(1)
-    var j = 0
-    while (j < 8) { feat(j) = feat(j) * 8.0f / n; j += 1 }
-    (w, h, rate, frames, feat)
+  /** Decode: REAL header parse for image bytes (PNG/BMP/GIF/JPEG); stub GRFT
+    * header for audio/video. Returns (w, h, rate, frames, feature8). */
+  def decode(media: Array[Byte]): (Int, Int, Int, Int, Array[Float]) = {
+    def byteFeatures(from: Int): Array[Float] = {
+      val feat = new Array[Float](8)
+      var i = from
+      while (i < media.length) { feat((i - from) % 8) += (media(i) & 0xff) / 255.0f; i += 1 }
+      val n = (media.length - from).max(1)
+      var j = 0
+      while (j < 8) { feat(j) = feat(j) * 8.0f / n; j += 1 }
+      feat
+    }
+    ImageCodec.decodeDims(media) match {
+      case Some((_, w, h)) => (w, h, 0, 1, byteFeatures(0))
+      case None =>
+        val bb = java.nio.ByteBuffer.wrap(media)
+        require(bb.getInt() == 0x47524654, "bad magic")
+        val kindIdx = bb.get(); bb.get()
+        val w = bb.getShort().toInt
+        val h = bb.getShort().toInt
+        val rate = bb.getInt(); bb.getShort()
+        val frames = if (kindIdx == 2) 1 + (media.length - 16) / 32 else 1
+        (w, h, rate, frames, byteFeatures(16))
+    }
   }
 
   /** Batched decode/feature-extract operator: one mapPartitions pass, with an
@@ -86,7 +110,7 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { a =>
-          val (w, h, _, frames, feat) = decodeStub(a.media)
+          val (w, h, _, frames, feat) = decode(a.media)
           MediaFeatures(a.media_id, a.kind, a.media.length, w, h, frames, feat)
         }
       }

@@ -170,6 +170,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"IVF recall $recall%.2f too low")
   }
 
+  test("image codec: real PNG/BMP round-trip; real-world PNG header parses") {
+    import graft.functions.ImageCodec
+    def px(x: Int, y: Int): Int = ((x * 31 + y) & 0xff) << 16 | 0x3040
+    val png = ImageCodec.encodePng(7, 5, px)
+    assert(ImageCodec.decodeDims(png).contains(("png", 7, 5)))
+    val bmp = ImageCodec.encodeBmp(9, 4, px)
+    assert(ImageCodec.decodeDims(bmp).contains(("bmp", 9, 4)))
+    // structural validity: IDAT inflates back to exactly h*(1+3w) filter+RGB bytes
+    val idatLen = {
+      // walk chunks: sig(8) then [len type data crc]...
+      var i = 8; var found: Array[Byte] = null
+      while (found == null) {
+        val len = java.nio.ByteBuffer.wrap(png, i, 4).getInt
+        val tpe = new String(png, i + 4, 4, "US-ASCII")
+        if (tpe == "IDAT") found = java.util.Arrays.copyOfRange(png, i + 8, i + 8 + len)
+        i += 12 + len
+      }
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(found)
+      val out = new Array[Byte](5 * (1 + 7 * 3) + 16)
+      val n = inf.inflate(out); inf.end(); n
+    }
+    assert(idatLen == 5 * (1 + 7 * 3), s"IDAT inflated to $idatLen")
+    // a REAL 1x1 PNG produced by an external encoder (well-known fixture)
+    val real = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    assert(ImageCodec.decodeDims(real).contains(("png", 1, 1)))
+    // GIF + JPEG header paths (spec-shaped fixtures)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](10, 0, 20, 0, 0, 0, 0)
+    assert(ImageCodec.decodeDims(gif).contains(("gif", 10, 20)))
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0, 4, 0, 0, // APP0, len 4
+      0xff.toByte, 0xc0.toByte, 0, 11, 8, 0, 30, 0, 40, 1, 0, 0, 0) // SOF0 h=30 w=40
+    assert(ImageCodec.decodeDims(jpeg).contains(("jpeg", 40, 30)))
+    assert(ImageCodec.decodeDims("not an image".getBytes).isEmpty)
+  }
+
   test("multimodal: synthesis, batched decode, frame sampling") {
     val assets = Multimodal.synthesize(spark, 200, seed = 42L).persist()
     assert(assets.count() == 200)
