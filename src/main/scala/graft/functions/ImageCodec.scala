@@ -121,3 +121,52 @@ object ImageCodec {
     } else None
   }
 }
+
+/** REAL PCM WAV encode/parse (RIFF is byte plumbing like BMP — no library
+  * needed): [[encodeWav]] writes a spec-valid 16-bit mono PCM file;
+  * [[decodeHeader]] walks RIFF chunks to the fmt/data pair. */
+object WavCodec {
+
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** (sampleRate, channels, bitsPerSample, nSamples) from a real WAV. */
+  def decodeHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def ascii(i: Int, n: Int) = new String(b, i, n, "US-ASCII")
+    if (b.length < 44 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataLen = -1
+    while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = ascii(i, 4)
+      val len = ByteBuffer.wrap(b, i + 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        val fb = ByteBuffer.wrap(b, i + 8, 16).order(ByteOrder.LITTLE_ENDIAN)
+        fb.getShort() // audio format
+        val ch = fb.getShort().toInt
+        val rate = fb.getInt()
+        fb.getInt(); fb.getShort()
+        val bits = fb.getShort().toInt
+        fmt = Some((ch, rate, bits))
+      } else if (id == "data") dataLen = len
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits > 0 =>
+      (rate, ch, bits, dataLen / (ch * bits / 8))
+    }
+  }
+}

@@ -20,21 +20,22 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
   * as opaque `binary` columns with typed metadata, and a batched
   * decode/feature-extract kernel.
   *
-  * IMAGE assets are REAL files: synthesis writes spec-valid PNG/BMP bytes
-  * ([[graft.functions.ImageCodec]] — zlib IDAT, CRC32 chunks, padded BMP
-  * rows) and extraction parses the genuine headers (PNG/BMP/GIF/JPEG all
-  * supported, validated against a real-world PNG in tests). AUDIO/VIDEO
-  * codecs remain a declared stub (deterministic 16-byte GRFT header) — the
-  * container ships no media libraries — but the Spark-side shape (schema,
-  * partitioning, batched kernel) is identical for both paths, so swapping a
-  * real A/V codec changes one function.
+  * IMAGE and AUDIO assets are REAL files: synthesis writes spec-valid
+  * PNG/BMP bytes ([[graft.functions.ImageCodec]] — zlib IDAT, CRC32 chunks,
+  * padded BMP rows) and 16-bit PCM WAV ([[graft.functions.WavCodec]]);
+  * extraction parses the genuine headers (PNG/BMP/GIF/JPEG dims, RIFF
+  * fmt/data — validated against a real-world PNG in tests). Only the VIDEO
+  * codec remains a declared stub (deterministic 16-byte GRFT header) — the
+  * container ships no video libraries — and the Spark-side shape (schema,
+  * partitioning, batched kernel) is identical for all paths, so swapping a
+  * real video codec changes one function.
   */
 object Multimodal {
 
   val Kinds = IndexedSeq("image", "audio", "video")
 
-  /** Deterministic asset: images are real PNG/BMP files; audio/video carry
-    * the GRFT stub header + hash payload. */
+  /** Deterministic asset: images are real PNG/BMP files, audio is real PCM
+    * WAV; video carries the GRFT stub header + hash payload. */
   def assetOf(seed: Long, id: Long): MediaAsset = {
     val kind = Kinds(((Pages.rng(seed, id, 40) >>> 1) % Kinds.length).toInt)
     if (kind == "image") {
@@ -49,10 +50,17 @@ object Multimodal {
         if ((Pages.rng(seed, id, 47) & 1) == 0) ImageCodec.encodePng(w, h, pixel)
         else ImageCodec.encodeBmp(w, h, pixel)
       MediaAsset(id, kind, bytes, w, h, 0)
+    } else if (kind == "audio") {
+      // real 16-bit mono PCM WAV (deterministic hash waveform)
+      val rate = 8000 + ((Pages.rng(seed, id, 43) >>> 1) % 40000).toInt
+      val n = 64 + ((Pages.rng(seed, id, 44) >>> 1) % 192).toInt
+      val samples = Array.tabulate(n)(i =>
+        ((Pages.rng(seed, id, 48 + i / 4) >>> ((i % 4) * 16)) & 0xffff).toShort)
+      MediaAsset(id, kind, graft.functions.WavCodec.encodeWav(rate, samples), 0, 0, rate)
     } else {
       val w = 16 + ((Pages.rng(seed, id, 41) >>> 1) % 240).toInt
       val h = 16 + ((Pages.rng(seed, id, 42) >>> 1) % 240).toInt
-      val rate = if (kind == "audio") 8000 + ((Pages.rng(seed, id, 43) >>> 1) % 40000).toInt else 0
+      val rate = 0
       val payloadLen = 64 + ((Pages.rng(seed, id, 44) >>> 1) % 192).toInt
       val bytes = new Array[Byte](16 + payloadLen)
       val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -89,6 +97,9 @@ object Multimodal {
     }
     ImageCodec.decodeDims(media) match {
       case Some((_, w, h)) => (w, h, 0, 1, byteFeatures(0))
+      case None if graft.functions.WavCodec.decodeHeader(media).isDefined =>
+        val (rate, _, _, _) = graft.functions.WavCodec.decodeHeader(media).get
+        (0, 0, rate, 1, byteFeatures(44))
       case None =>
         val bb = java.nio.ByteBuffer.wrap(media)
         require(bb.getInt() == 0x47524654, "bad magic")

@@ -221,6 +221,36 @@ object Gazetteer {
   def subsetView(gaz: DataFrame, wanted: Seq[String]): DataFrame =
     gaz.filter(col("province").isin(wanted: _*))
 
+  /** G10 `print_tree` (ref map.py:289-300): the hierarchy as the reference's
+    * `- key` / indented-children text, optionally restricted to one province.
+    * Returned (not printed) so callers choose the sink; assembled on the
+    * driver — the gazetteer is broadcast-sized by design, and a tree PRINT
+    * is a debug surface, not a data path. Insertion order is the row order,
+    * like the reference's dict iteration. */
+  def treeString(rs: Seq[GazRow] = rows, province: Option[String] = None): String = {
+    val filtered = province match {
+      case Some(p) => rs.filter(_.province == p)
+      case None    => rs
+    }
+    // group into the nested tree preserving first-appearance order (the
+    // reference's insertion-ordered dicts), then emit depth-first
+    val tree = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]]]()
+    filtered.foreach { r =>
+      tree.getOrElseUpdate(r.province, scala.collection.mutable.LinkedHashMap())
+        .getOrElseUpdate(r.district, scala.collection.mutable.ArrayBuffer()) += r.neighbourhood
+    }
+    val sb = new StringBuilder
+    tree.foreach { case (p, ds) =>
+      sb.append(s"- $p\n")
+      ds.foreach { case (d, ns) =>
+        sb.append(s"  - $d\n")
+        ns.foreach(n => sb.append(s"    - $n\n"))
+      }
+    }
+    sb.toString
+  }
+
   // ----------------------- broadcastable parser index -----------------------
 
   /** First-token inverted index: token → candidates (token_list, full_name),

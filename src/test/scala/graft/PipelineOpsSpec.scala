@@ -207,6 +207,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ImageCodec.decodeDims("not an image".getBytes).isEmpty)
   }
 
+  test("wav codec: real PCM WAV round-trip; asset decode recovers the rate") {
+    import graft.functions.WavCodec
+    import graft.operators.Multimodal
+    val samples = Array.tabulate(100)(i => (i * 321).toShort)
+    val wav = WavCodec.encodeWav(16000, samples)
+    assert(WavCodec.decodeHeader(wav).contains((16000, 1, 16, 100)))
+    assert(WavCodec.decodeHeader("RIFFnope".getBytes).isEmpty)
+    val (w, h, rate, frames, feat) = Multimodal.decode(wav)
+    assert(w == 0 && h == 0 && rate == 16000 && frames == 1 && feat.length == 8)
+  }
+
   test("multimodal: synthesis, batched decode, frame sampling") {
     val assets = Multimodal.synthesize(spark, 200, seed = 42L).persist()
     assert(assets.count() == 200)

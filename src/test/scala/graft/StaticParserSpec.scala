@@ -103,4 +103,15 @@ class StaticParserSpec extends AnyFunSuite {
     assert(Gazetteer.adminCounts(gaz).count() == 6)
     assert(Gazetteer.subsetView(gaz, Seq("izmir", "ankara")).select("province").distinct().count() == 2)
   }
+
+  test("G10 tree string: reference `- key` indented format, insertion order") {
+    val full = Gazetteer.treeString()
+    assert(full.startsWith(
+      "- izmir\n  - bornova\n    - kazimdirik\n    - erzene\n    - mevlana\n    - ataturk\n  - karsiyaka\n"))
+    assert(full.linesIterator.count(_.startsWith("- ")) == 6) // one per province
+    val one = Gazetteer.treeString(province = Some("ankara"))
+    assert(one.startsWith("- ankara\n") && !one.contains("- izmir"))
+    assert(one.linesIterator.count(_.startsWith("    - ")) ==
+      Gazetteer.rows.count(_.province == "ankara"))
+  }
 }
