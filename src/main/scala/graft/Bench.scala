@@ -52,18 +52,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // (name, best-time-or-None, errorMessage)
-    val results: Seq[(String, Option[Double], Option[String])] =
+    // (name, best-time-or-None, first-run-time, errorMessage)
+    val results: Seq[(String, Option[Double], Double, Option[String])] =
       headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           var best = Double.MaxValue
+          var first = 0.0
           var err: Option[String] = None
           var r = 0
           while (r < runs && err.isEmpty) {
             val t0 = System.nanoTime()
             try {
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+              val sec = (System.nanoTime() - t0) / 1e9
+              if (r == 0) first = sec
+              best = math.min(best, sec)
             } catch {
               case e: Throwable =>
                 System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -71,17 +74,22 @@ object Bench {
             }
             r += 1
           }
-          (name, if (err.isEmpty) Some(best) else None, err)
+          (name, if (err.isEmpty) Some(best) else None, first, err)
         }
       }
 
-    val ok = results.collect { case (n, Some(t), _) => n -> t }
-    val failed = results.collect { case (n, None, Some(m)) => n -> m }
+    val ok = results.collect { case (n, Some(t), _, _) => n -> t }
+    val failed = results.collect { case (n, None, _, Some(m)) => n -> m }
 
-    // north-rule throughput: pages through extract→block→score→match per sec
+    // north-rule throughput: pages through the pair join + scoring per sec.
+    // Uses the FIRST q_scored_pairs run — the catalog memoizes the scored
+    // pipeline, so later runs read the persisted result and would report
+    // cache-read throughput, not pipeline throughput. (The prepared stage is
+    // warmed by earlier headline queries; the dedicated Scaling main measures
+    // the full cold path and is the official scaling record.)
     val nPages = Queries.pagesFor(sfDir)
-    val pagesPerSec = ok.collectFirst {
-      case ("q_scored_pairs", sec) if sec > 0 => nPages / sec
+    val pagesPerSec = results.collectFirst {
+      case ("q_scored_pairs", Some(_), firstSec, _) if firstSec > 0 => nPages / firstSec
     }.getOrElse(0.0)
 
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -63,9 +63,20 @@ object Linkage {
     * singleton entities (their own url). */
   def entities(pages: DataFrame, bIdx: Broadcast[Gazetteer.Index],
                cfg: Config = Config()): DataFrame = {
+    // NOTE: `prepared` stays persisted — the returned DataFrame still reads
+    // it (eager unpersist here would silently recompute the whole synthesis/
+    // extract branch at the caller's first action). Spark evicts LRU.
     val prepared = prepare(pages, cfg).persist()
-    val sc = scored(prepared, cfg)
-    val edges = sc.filter(col("is_match"))
+    entitiesFrom(prepared, scored(prepared, cfg), bIdx)
+  }
+
+  /** [[entities]] from pre-materialized stages — callers that already hold
+    * the prepared records and scored pairs (the query catalog shares one
+    * persisted pipeline across q_scored_pairs/q_entities/q_linkage_f1;
+    * ResumableLinkage holds committed snapshots) skip recomputing them. */
+  def entitiesFrom(prepared: DataFrame, scoredPairs: DataFrame,
+                   bIdx: Broadcast[Gazetteer.Index]): DataFrame = {
+    val edges = scoredPairs.filter(col("is_match"))
       .select(col("url_a").as("src"), col("url_b").as("dst"))
     val comps = ConnectedComponents.run(edges)
 
@@ -74,9 +85,6 @@ object Linkage {
       .withColumn("entity_id", coalesce(col("component"), col("url")))
       .select("url", "extracted", "entity_id")
 
-    // NOTE: `prepared` stays persisted — the returned DataFrame still reads
-    // it (eager unpersist here would silently recompute the whole synthesis/
-    // extract branch at the caller's first action). Spark evicts LRU.
     val parsed = StaticParser.parse(withEntity, "extracted", bIdx)
     parsed.select("url", "entity_id", "province", "district", "neighbourhood")
   }
