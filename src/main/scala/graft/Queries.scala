@@ -323,6 +323,21 @@ object Queries {
       Goldset.classify(GoldsetFixture.toDF("addr"), "addr")
         .select("addr", "gold_class").orderBy("addr")
     }),
+    "q_incremental_state" -> ((s, dir) => {
+      // two-batch incremental linkage over a split of the pages table; the
+      // final scored state must equal the full recompute (asserted in
+      // SnapshotStreamingSpec; here the state is the checkable output)
+      import s.implicits._
+      val n = math.min(pagesFor(dir), 6000L)
+      val all = Pages.synthesize(s, n).toDF()
+      val a = all.filter(Pages.goldEntityId(col("url")) < n / 6)
+      val b = all.filter(Pages.goldEntityId(col("url")) >= n / 6)
+      val s1 = graft.streaming.IncrementalLinkage.step(
+        Linkage.prepare(a).limit(0), s.emptyDataset[ScoredPair].toDF(), a)
+      val s2 = graft.streaming.IncrementalLinkage.step(s1.prepared, s1.scored, b)
+      s2.scored.select(col("url_a"), col("url_b"),
+        round(col("score"), 4).as("score"), col("is_match")).orderBy("url_a", "url_b")
+    }),
     "q_linkage_f1" -> ((s, dir) => {
       val sc = scoredFor(s, dir)
       val gold = sc.select(col("url_a"), col("url_b"),

@@ -54,6 +54,32 @@ class PlanSpec extends AnyFunSuite {
       s"quadratic strategy:\n${p.take(2000)}")
   }
 
+  test("banded LSH joins carry no payload and use no quadratic strategy") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // the banded self-join must move ONLY (id, band, bucket) — at 100 TB a
+    // set/vector payload through that shuffle is the bottleneck. Asserted on
+    // the optimized logical plan (join strategy varies with input size:
+    // broadcast here, sort-merge at scale — the payload property must hold
+    // for both).
+    def bandedJoinInputs(df: DataFrame, payload: String): Unit = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val banded = joins.filter(_.condition.exists(_.references.exists(_.name == "bucket")))
+      assert(banded.nonEmpty, "no banded join found in the optimized plan")
+      banded.foreach { j =>
+        val cols = (j.left.output ++ j.right.output).map(_.name)
+        assert(!cols.contains(payload),
+          s"'$payload' carried through the banded join: $cols")
+      }
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    bandedJoinInputs(Dedup.minhashPairs(docs, "doc_id", "text"), "sh")
+    bandedJoinInputs(Dedup.embeddingPairs(emb, "vec_id", "embedding"), "vec")
+    bandedJoinInputs(Dedup.simhashPairs(docs, "doc_id", "text"), "text")
+  }
+
   test("normalizer chain stays in one WholeStageCodegen span") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
