@@ -67,6 +67,7 @@ object Smoke {
     val docsT = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[smoke] minhash_pairs=${Dedup.minhashPairs(docsT, "doc_id", "text", threshold = 0.5).count()}")
     println(s"[smoke] simhash_pairs=${Dedup.simhashPairs(docsT, "doc_id", "text", 3).count()}")
+    println(s"[smoke] simhash_clusters=${Dedup.simhashClusters(docsT, "doc_id", "text").select("cluster").distinct().count()}")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 3).show(6, false)
 

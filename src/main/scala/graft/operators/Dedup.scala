@@ -133,17 +133,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash dedup to clusters: LSH pairs → connected components → rep ids. */
-  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+  /** Near-dup pairs → connected components → one (id, cluster) row per input
+    * row; singletons cluster with themselves. Shared tail of every
+    * `*Clusters` operator. */
+  private def clustersFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = ConnectedComponents.run(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     df.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
-      .withColumn("cluster", coalesce(col("component").cast("long"), col("id")))
+      .withColumn("cluster", coalesce(col("component"), col("id")))
       .select("id", "cluster")
   }
+
+  /** MinHash dedup to clusters: LSH pairs → connected components → rep ids. */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7): DataFrame =
+    clustersFromPairs(df, idCol, minhashPairs(df, idCol, textCol, threshold = threshold))
+
+  /** SimHash dedup to clusters (pairs within `maxHamming` merge). */
+  def simhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    clustersFromPairs(df, idCol, simhashPairs(df, idCol, textCol, maxHamming))
+
+  /** n-gram Jaccard dedup to clusters. */
+  def ngramJaccardClusters(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5): DataFrame =
+    clustersFromPairs(df, idCol, ngramJaccardPairs(df, idCol, textCol, n, threshold))
+
+  /** Embedding-cosine dedup to clusters. */
+  def embeddingClusters(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95): DataFrame =
+    clustersFromPairs(df, idCol, embeddingPairs(df, idCol, vecCol, threshold = threshold))
 
   // ------------------------------ SimHash ----------------------------------
 

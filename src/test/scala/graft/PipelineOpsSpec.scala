@@ -89,6 +89,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m(100000L) == m(0L) && m(100001L) == m(1L))
   }
 
+  test("clusters API symmetry: simhash/ngram/embedding copies land with sources") {
+    val copies = docs.limit(2)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val planted = docs.select("doc_id", "text").union(copies)
+    val sim = Dedup.simhashClusters(planted, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(sim(100000L) == sim(0L) && sim(100001L) == sim(1L))
+    val ng = Dedup.ngramJaccardClusters(planted, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(ng(100000L) == ng(0L) && ng(100001L) == ng(1L))
+    val embPlanted = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.limit(2).select(col("vec_id") + 100000, col("embedding")))
+    val ec = Dedup.embeddingClusters(embPlanted, "vec_id", "embedding", threshold = 0.999)
+      .as[(Long, Long)].collect().toMap
+    assert(ec(100000L) == ec(0L) && ec(100001L) == ec(1L))
+    // every input row appears exactly once
+    assert(Dedup.simhashClusters(planted, "doc_id", "text").count() == planted.count())
+  }
+
   test("simhash: exact copies at hamming 0; perturbed copy within band reach") {
     val copies = docs.limit(3)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
