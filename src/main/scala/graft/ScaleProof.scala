@@ -20,16 +20,15 @@ object ScaleProof {
   def main(args: Array[String]): Unit = {
     val mode = args.lift(0).getOrElse("full")
     val n = args.lift(1).map(_.toLong).getOrElse(960000L)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName(s"graft-scaleproof-$mode")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+    var b = SparkSession.builder().appName(s"graft-scaleproof-$mode")
       .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
       .config("spark.eventLog.dir", "/tmp/spark-events")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    b = Sessions.masterIfUnset(b, "local[32]")
+    b = Sessions.configIfUnset(b, "spark.sql.shuffle.partitions", "32")
+    b = Sessions.configIfUnset(b, "spark.sql.adaptive.enabled", "true")
+    b = Sessions.configIfUnset(b, "spark.sql.session.timeZone", "UTC")
+    b = Sessions.configIfUnset(b, "spark.ui.enabled", "false")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     mode match {

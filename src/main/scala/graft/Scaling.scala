@@ -26,15 +26,7 @@ object Scaling {
     val cores = args.lift(1).map(_.toInt).getOrElse(32)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(s"graft-scaling-$cores", cores.toString)
 
     def once(): (Double, Long) = {
       val t0 = System.nanoTime()

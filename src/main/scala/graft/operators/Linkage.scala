@@ -78,7 +78,7 @@ object Linkage {
                    bIdx: Broadcast[Gazetteer.Index]): DataFrame = {
     val edges = scoredPairs.filter(col("is_match"))
       .select(col("url_a").as("src"), col("url_b").as("dst"))
-    val comps = ConnectedComponents.run(edges)
+    val comps = ConnectedComponents.runOnStrings(edges)
 
     val withEntity = prepared
       .join(comps.withColumnRenamed("id", "url"), Seq("url"), "left")

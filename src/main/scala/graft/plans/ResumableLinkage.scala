@@ -30,9 +30,10 @@ object ResumableLinkage {
       Linkage.scored(prepared, cfg)
     }
     val comps = Resumable.stage(spark, root, "components", fp) {
-      // cluster on the url strings themselves — a 64-bit hash node id
-      // collides (and silently merges entities) at 10^12-page scale
-      ConnectedComponents.run(
+      // cluster on the url strings (collision-free; a 64-bit hash node id
+      // silently merges entities at 10^12 pages) — the iteration itself runs
+      // on dense dictionary longs, see ConnectedComponents.runOnStrings
+      ConnectedComponents.runOnStrings(
         scored.filter(col("is_match"))
           .select(col("url_a").as("src"), col("url_b").as("dst")))
     }

@@ -100,10 +100,23 @@ class LinkageSpec extends AnyFunSuite {
     // pipeline clusters on raw urls, so CC must be type-generic
     val edges = Seq(("u/b", "u/a"), ("u/a", "u/c"), ("x/2", "x/1"))
       .toDF("src", "dst")
-    val comps = ConnectedComponents.run(edges)
-    val m = comps.as[(String, String)].collect().toMap
+    val m = ConnectedComponents.run(edges).as[(String, String)].collect().toMap
     assert(m("u/a") == "u/a" && m("u/b") == "u/a" && m("u/c") == "u/a")
     assert(m("x/1") == "x/1" && m("x/2") == "x/1")
+    // the dictionary-id variant (the iteration runs on dense longs, ~5x less
+    // CC shuffle width at scale) must produce the identical mapping
+    val md = ConnectedComponents.runOnStrings(edges).as[(String, String)].collect().toMap
+    assert(md == m, s"dictionary CC diverged: $md vs $m")
+  }
+
+  test("dictionary CC equals direct string CC on a real match graph") {
+    val sc = Linkage.scored(Linkage.prepare(pages)).filter(col("is_match"))
+      .select(col("url_a").as("src"), col("url_b").as("dst")).persist()
+    val direct = ConnectedComponents.run(sc).as[(String, String)].collect().toMap
+    val viaDict = ConnectedComponents.runOnStrings(sc).as[(String, String)].collect().toMap
+    assert(viaDict == direct,
+      s"diverged on ${viaDict.toSet.diff(direct.toSet).take(3)} ...")
+    sc.unpersist()
   }
 
   test("entity ids are urls (no hash-derived ids reach clustering)") {
