@@ -312,6 +312,14 @@ object Queries {
       // per-type + micro PRF of the rule extractor on the reference's real
       // gold corpora (the reference's own published-metric surface)
       GoldEval.evaluate(s).orderBy("entity_type")),
+    "q_gold_confusion" -> ((s, dir) =>
+      // TYPE-only token confusion matrix on the same corpora (notebook cell 28)
+      GoldEval.confusion(s)),
+    "q_minhash_clusters" -> ((s, dir) => {
+      implicit val sp = s
+      Dedup.minhashClusters(t(dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy("id")
+    }),
     "q_goldset_classes" -> ((s, dir) => {
       val ex = Linkage.extract(Pages.synthesize(s, pagesFor(dir)).toDF())
       Goldset.tokenStats(Goldset.classify(ex, "extracted"), "extracted")

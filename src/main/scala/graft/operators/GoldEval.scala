@@ -143,4 +143,31 @@ object GoldEval {
 
     Eval.entityPRF(pred, gold)
   }
+
+  /** TYPE-only token-level confusion matrix on the gold corpora (the
+    * reference's notebook cell-28 view: B-/I- collapsed to the entity type,
+    * every token position counted). */
+  def confusion(spark: SparkSession, paths: Seq[String] = DefaultPaths): DataFrame = {
+    import spark.implicits._
+    val sents = paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }
+    val idx = StaticParser.broadcastIndex(spark)
+    val tokens = spark.createDataset(sents.map { case (sid, toks, tags) => (sid, toks, tags) })
+      .mapPartitions { it =>
+        val ix = idx.value
+        it.flatMap { case (sid, toks, tags) =>
+          val predTypes = Array.fill(toks.length)("O")
+          NerOutputs.spans(toks.map(canonToken), ix).foreach { case (t, s, e) =>
+            var k = s
+            while (k < e && k < predTypes.length) {
+              if (predTypes(k) == "O") predTypes(k) = t
+              k += 1
+            }
+          }
+          tags.zipWithIndex.map { case (g, pos) =>
+            (sid, pos, if (g == "O") "O" else g.drop(2), predTypes(pos))
+          }
+        }
+      }.toDF("sent_id", "pos", "gold_type", "pred_type")
+    Eval.confusionMatrix(tokens)
+  }
 }

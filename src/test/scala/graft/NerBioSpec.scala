@@ -213,6 +213,19 @@ class NerBioSpec extends AnyFunSuite {
     // reports 0.7492 on a 20-sample slice. Regression gate at 0.5.
     assert(micro._3 >= 0.5, f"gold micro F1 ${micro._3}%.4f regressed")
     prf.unpersist()
+
+    // TYPE-only token confusion (the notebook cell-28 view): diagonal must
+    // dominate for the types the extractor handles well
+    val cm = GoldEval.confusion(spark).persist()
+    val asMap = cm.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def diag(t: String) = asMap.getOrElse((t, t), 0L)
+    def rowTotal(t: String) = asMap.collect { case ((g, _), n) if g == t => n }.sum
+    assert(diag("O") > 0 && diag("MAHALLE") >= 0)
+    Seq("SOKAK", "IL", "POSTA_KODU").foreach { t =>
+      assert(diag(t) * 2 >= rowTotal(t), s"$t diagonal ${diag(t)} / ${rowTotal(t)}")
+    }
+    cm.unpersist()
   }
 
   test("entity-level PRF (V2): self-eval is perfect; perturbed eval degrades") {
