@@ -53,7 +53,7 @@ object Bench {
           var first = 0.0
           var err: Option[String] = None
           var r = 0
-          while (r < runs && err.isEmpty) {
+          while (r < runs) {
             val t0 = System.nanoTime()
             try {
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -62,17 +62,22 @@ object Bench {
               best = math.min(best, sec)
             } catch {
               case e: Throwable =>
-                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                System.err.println(s"[bench] $name run ${r + 1} failed: ${e.getMessage}")
                 err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
             }
             r += 1
           }
-          (name, if (err.isEmpty) Some(best) else None, first, err)
+          // a query is failed only if NO run succeeded — a valid measurement
+          // from run 1 is not discarded by a transient failure on run 2
+          // (round-2 ADVICE); the error is still reported alongside.
+          (name, if (best < Double.MaxValue) Some(best) else None, first, err)
         }
       }
 
     val ok = results.collect { case (n, Some(t), _, _) => n -> t }
     val failed = results.collect { case (n, None, _, Some(m)) => n -> m }
+    // succeeded at least once but also had a failing run — timing kept
+    val flaky = results.collect { case (n, Some(_), _, Some(m)) => n -> m }
 
     // north-rule throughput: pages through the pair join + scoring per sec.
     // Uses the FIRST q_scored_pairs run — the catalog memoizes the scored
@@ -88,10 +93,15 @@ object Bench {
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
       .mkString("{", ",", "}")
+    val fl = flaky.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"runs_per_query":$runs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"flaky":$fl,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"runs_per_query":$runs}"""
     println(json)
+    // sentinel line so the driver's parser finds the record in sbt log noise
+    // ("parsed": null in BENCH_r01/r02) regardless of surrounding output
+    println("GRAFT_BENCH_JSON: " + json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }

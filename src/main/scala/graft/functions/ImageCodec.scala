@@ -163,6 +163,9 @@ object WavCodec {
         val bits = fb.getShort().toInt
         fmt = Some((ch, rate, bits))
       } else if (id == "data") dataLen = len
+      // corrupt-chunk guard: a negative/overflowing len would stop `i`
+      // advancing and spin this walker forever on one bad record
+      if (len < 0 || 8 + len + (len & 1) <= 0) return None
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
     fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits > 0 =>

@@ -69,7 +69,8 @@ object ConnectedComponents {
     *               the iteration on dense dictionary longs instead.
     * @return DataFrame (id, component) covering every node that appears in
     *         `edges`; `component` is the minimum node id of the component. */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50,
+          onRound: Int => Unit = _ => ()): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -84,6 +85,7 @@ object ConnectedComponents {
       fp = nfp
       e = next
       it += 1
+      onRound(it) // test seam: inject cache invalidation mid-iteration
     }
     // Converged state is a star per component: (member, root). Roots appear
     // only on the dst side; add their self-mapping.
@@ -92,31 +94,67 @@ object ConnectedComponents {
     members.union(roots).distinct()
   }
 
+  /** Deterministic dense dictionary over string keys: (id → mid) where
+    * mid = prefixOffset(bucket(id)) + rankWithinBucket(id), with
+    * bucket(id) = xxhash64(id) mod P. Every term is a PURE FUNCTION of the
+    * key set: unlike `monotonically_increasing_id` (whose value depends on
+    * which task computes a row, so a lost-block recompute can renumber) —
+    * and unlike `spark_partition_id` after a repartition (AQE may lay out
+    * partitions differently across executions of the same subtree) —
+    * recomputing any partition, on any executor, at any time, yields the
+    * SAME mapping. No persist/checkpoint pinning is required for
+    * correctness (the persist at the call site is purely a perf hint).
+    *
+    * Shape at scale: one hash exchange on the bucket column, a
+    * within-bucket `row_number` window (hash-uniform buckets — no
+    * single-partition window, no skew), and one P-row collect for the
+    * prefix offsets (P = shuffle partitions, driver-side cost ~KB). */
+  private[graft] def stringDictionary(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = ids.sparkSession.sessionState.conf.numShufflePartitions
+    val bucketed = ids
+      .withColumn("b", pmod(xxhash64(col("id")), lit(p.toLong)))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("b")).orderBy(col("id"))))
+    // per-bucket counts → prefix offsets; tiny (≤P rows) and itself
+    // deterministic, so the literal map baked here matches ANY re-execution.
+    val counts = bucketed.groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Long, Long] =
+      counts.map { case (b, c) => val o = acc; acc += c; b -> o }.toMap
+    bucketed.select(col("id"),
+      (element_at(typedLit(offsets), col("b")) + col("rn") - 1).as("mid"))
+  }
+
   /** Connected components over STRING node ids via a dense dictionary: the
     * O(log n) star iteration shuffles its edge set every round, and an 8-byte
     * dictionary long is ~5× narrower than a url — at 10^12 nodes that is the
     * difference between CC shuffling ~8 TB and ~40 TB per round. The
-    * dictionary id is `monotonically_increasing_id` (unique BY CONSTRUCTION —
-    * no birthday collisions, unlike a 64-bit hash), pinned by persist+count
-    * so recomputation cannot renumber; the representative is re-derived as
-    * the MINIMUM member string after the loop, so the output is deterministic
-    * and identical to running [[run]] on the strings directly.
+    * dictionary id is the key's bucket-major dense rank ([[stringDictionary]]):
+    * unique by construction (no birthday collisions, unlike a 64-bit hash)
+    * AND a pure function of the key set, so executor loss + lineage recompute
+    * cannot renumber ids mid-run — the round-2 `monotonically_increasing_id`
+    * + persist pinning relied on cache retention, which is best-effort. The
+    * representative is re-derived as the MINIMUM member string after the
+    * loop, so the output is deterministic and identical to running [[run]]
+    * on the strings directly.
     *
     * @param edges (src, dst) string columns.
     * @return (id, component): both strings; component = min member string. */
-  def runOnStrings(edges: DataFrame): DataFrame = {
-    val dict = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-      .withColumn("mid", monotonically_increasing_id())
+  def runOnStrings(edges: DataFrame,
+                   onRound: Int => Unit = _ => ()): DataFrame = {
+    val dict = stringDictionary(
+      edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dict.count() // pin the (id → mid) assignment before it is read twice
 
     val midEdges = edges
       .join(dict.select(col("id").as("src"), col("mid").as("msrc")), "src")
       .join(dict.select(col("id").as("dst"), col("mid").as("mdst")), "dst")
       .select(col("msrc").as("src"), col("mdst").as("dst"))
-    val comps = run(midEdges) // (id: mid, component: mid)
+    val comps = run(midEdges, onRound = onRound) // (id: mid, component: mid)
 
     val members = comps
       .join(dict.select(col("mid").as("id"), col("id").as("member")), "id")
@@ -124,8 +162,8 @@ object ConnectedComponents {
     val reps = members.groupBy("component").agg(min(col("member")).as("rep"))
     val out = members.join(reps, "component")
       .select(col("member").as("id"), col("rep").as("component"))
-    // dict stays persisted until LRU eviction — eager unpersist would force
-    // the caller's first action to recompute (and renumber) the mapping
+    // dict stays persisted until LRU eviction as a perf hint only — since
+    // mids are sort-rank-derived, eviction/recompute yields the SAME mapping
     out
   }
 }

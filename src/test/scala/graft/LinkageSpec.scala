@@ -109,6 +109,34 @@ class LinkageSpec extends AnyFunSuite {
     assert(md == m, s"dictionary CC diverged: $md vs $m")
   }
 
+  test("dictionary ids survive cache invalidation mid-iteration (recompute-proof)") {
+    // Round-2 used monotonically_increasing_id pinned by persist+count; on a
+    // real cluster a lost block recomputes and CAN renumber. The fix derives
+    // mid = global sort rank of the key — a pure function of the key set. We
+    // prove it by nuking every cached block after every star round, forcing
+    // each subsequent dictionary read through full lineage recompute, and
+    // asserting components unchanged vs the direct string run.
+    val sc = Linkage.scored(Linkage.prepare(pages)).filter(col("is_match"))
+      .select(col("url_a").as("src"), col("url_b").as("dst")).persist()
+    val direct = ConnectedComponents.run(sc).as[(String, String)].collect().toMap
+    val hostile = ConnectedComponents
+      .runOnStrings(sc, onRound = _ => spark.catalog.clearCache())
+      .as[(String, String)].collect().toMap
+    assert(hostile == direct,
+      s"renumbered under invalidation: ${hostile.toSet.diff(direct.toSet).take(3)} ...")
+    // and the dictionary itself is deterministic across independent builds
+    val ids = sc.select(col("src").as("id"))
+      .union(sc.select(col("dst").as("id"))).distinct()
+    val d1 = ConnectedComponents.stringDictionary(ids)
+      .as[(String, Long)].collect().toMap
+    val d2 = ConnectedComponents.stringDictionary(ids)
+      .as[(String, Long)].collect().toMap
+    assert(d1 == d2, "stringDictionary is not deterministic across builds")
+    assert(d1.values.toSeq.sorted == (0L until d1.size.toLong),
+      "mids are not dense 0..n-1")
+    sc.unpersist()
+  }
+
   test("dictionary CC equals direct string CC on a real match graph") {
     val sc = Linkage.scored(Linkage.prepare(pages)).filter(col("is_match"))
       .select(col("url_a").as("src"), col("url_b").as("dst")).persist()
