@@ -106,9 +106,9 @@ object Queries {
     }),
     "q_jaro_winkler" -> ((s, dir) => {
       implicit val sp = s
-      val jw = udf((a: String, b: String) => Scoring.jaroWinkler(a, b))
       t(dir, "part").select(col("p_partkey"),
-        round(jw(col("p_name"), col("p_brand")), 4).as("jw")).orderBy("p_partkey")
+        round(graft.functions.JaroWinklerExpr.jaroWinkler(
+          col("p_name"), col("p_brand")), 4).as("jw")).orderBy("p_partkey")
     }),
     "q_soundex" -> ((s, dir) => {
       implicit val sp = s
@@ -486,6 +486,20 @@ object Queries {
          | ELSE 'J' END AS gold_class
          |FROM m ORDER BY addr""".stripMargin
     },
+    // gazetteer lookups: the 41-row normalized gazetteer embedded as a
+    // VALUES twin (the q_goldset_fixture pattern) — keys are ascii after
+    // static normalization, so the literals are collation-safe
+    "q_gaz_admin_counts" ->
+      s"""WITH gaz(province, district, neighbourhood, postcode) AS (VALUES
+         | $gazValues)
+         |SELECT province, count(DISTINCT district) AS n_districts,
+         | count(DISTINCT district || '|' || neighbourhood) AS n_neighbourhoods
+         |FROM gaz GROUP BY province ORDER BY province""".stripMargin,
+    "q_gaz_nbhds" ->
+      s"""WITH gaz(province, district, neighbourhood, postcode) AS (VALUES
+         | $gazValues)
+         |SELECT DISTINCT neighbourhood FROM gaz WHERE province = 'izmir'
+         |ORDER BY neighbourhood""".stripMargin,
     "q_ann_threshold" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         | round(list_cosine_similarity(q.embedding, c.embedding), 2) AS cos
@@ -496,4 +510,11 @@ object Queries {
 
   private def duckList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  /** The 41-row normalized gazetteer as a SQL VALUES body (oracle twin for
+    * the G-op queries; declared lazy — `oracles` captures it at first use). */
+  private lazy val gazValues: String =
+    Gazetteer.rows.map(r =>
+      s"('${r.province}', '${r.district}', '${r.neighbourhood}', '${r.postcode}')")
+      .mkString(",\n ")
 }

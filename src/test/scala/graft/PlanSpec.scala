@@ -80,6 +80,23 @@ class PlanSpec extends AnyFunSuite {
     bandedJoinInputs(Dedup.simhashPairs(docs, "doc_id", "text"), "text")
   }
 
+  test("q_jaro_winkler runs as a native expression (no ScalaUDF in the plan)") {
+    val df = SparkEntry.queries("q_jaro_winkler")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("ScalaUDF") && !df.queryExecution.optimizedPlan.toString.contains("UDF"),
+      s"udf in jaro-winkler plan:\n${p.take(1200)}")
+    // and the expression agrees with the scoring kernel on adversarial cases
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""),
+      ("a", ""), ("same", "same"), ("abcdef", "uvwxyz"))
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.JaroWinklerExpr.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect()
+    val want = cases.map { case (a, b) => graft.operators.Scoring.jaroWinkler(a, b) }
+    assert(got.toSeq == want, s"expr != kernel: $got vs $want")
+  }
+
   test("normalizer chain stays in one WholeStageCodegen span") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
