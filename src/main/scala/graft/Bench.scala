@@ -67,6 +67,10 @@ object Bench {
             }
             r += 1
           }
+          // dedup intermediates are per-invocation: release between queries
+          // so best-of-N doesn't accumulate cache blocks across the suite
+          // (the shared linkage-pipeline cache in Queries is deliberately kept)
+          graft.operators.Dedup.releaseCaches(spark)
           // a query is failed only if NO run succeeded — a valid measurement
           // from run 1 is not discarded by a transient failure on run 2
           // (round-2 ADVICE); the error is still reported alongside.

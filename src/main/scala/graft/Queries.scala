@@ -39,15 +39,27 @@ object Queries {
   private val scoredCache =
     scala.collection.concurrent.TrieMap[(SparkSession, Long), DataFrame]()
 
-  def preparedFor(s: SparkSession, dir: String): DataFrame =
+  /** Entries keyed by a stopped session pin nothing (the context is gone)
+    * but would keep the session object reachable forever — drop them on
+    * every access so a long-lived JVM cycling sessions can't accumulate. */
+  private def evictStopped(): Unit =
+    Seq(prepCache, scoredCache).foreach { c =>
+      c.keys.filter(_._1.sparkContext.isStopped).foreach(c.remove)
+    }
+
+  def preparedFor(s: SparkSession, dir: String): DataFrame = {
+    evictStopped()
     prepCache.getOrElseUpdate((s, pagesFor(dir)),
       Linkage.prepare(Pages.synthesize(s, pagesFor(dir)).toDF())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
-  def scoredFor(s: SparkSession, dir: String): DataFrame =
+  def scoredFor(s: SparkSession, dir: String): DataFrame = {
+    evictStopped()
     scoredCache.getOrElseUpdate((s, pagesFor(dir)),
       Linkage.scored(preparedFor(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Fixed classifier fixture: one address per class A–J (all single-spaced,
     * so the oracle's space-anchored Turkish-keyword patterns are exact).

@@ -19,6 +19,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      // release dedup intermediates pinned by this query (cache hygiene; the
+      // shared linkage pipeline cache in Queries is deliberately kept)
+      operators.Dedup.releaseCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

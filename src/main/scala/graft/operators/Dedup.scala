@@ -22,6 +22,35 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  // Per-id state (shingle sets, signatures) is persisted inside the pair
+  // operators because three plan branches read it; the operators return lazy
+  // DataFrames, so they cannot know when the caller is done. Persists are
+  // therefore TRACKED per session and released by [[releaseCaches]] — the
+  // caller-driven cleanup hook (Bench calls it between queries; Verify after
+  // each write). Without it, repeated invocations in one long-lived session
+  // accumulate cache blocks until LRU eviction. Keys are weak: a collected
+  // session drops its entry.
+  private val tracked =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.ArrayDeque[DataFrame]]()
+
+  private def trackPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.synchronized {
+      tracked.computeIfAbsent(df.sparkSession,
+        _ => new java.util.ArrayDeque[DataFrame]()).add(p)
+    }
+    p
+  }
+
+  /** Unpersist every intermediate this session's dedup calls pinned. Safe to
+    * call once the returned DataFrames have been materialized (a later action
+    * would recompute, not fail). */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val q = tracked.synchronized(Option(tracked.remove(spark)))
+    q.foreach(_.forEach(df => df.unpersist(false)))
+  }
+
   /** Heavy per-row signature work must not inherit a single-file scan's
     * partitioning (one parquet file = one partition = one core). Spread to
     * the cluster's default parallelism before computing signatures; the
@@ -108,10 +137,10 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // per-id shingle state, computed once and reused by the signature branch,
     // the size branch, and the exploded verification branch
-    val sets = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+    val sets0 = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), shingleN)).as("sh"))
       .withColumn("nsh", size(col("sh")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = trackPersist(sets0)
 
     // one row per (id, band, bucket): bucket = hash of the band's slice.
     // ONLY (id, band, bucket) enters the self-join — no array payload.
@@ -219,11 +248,11 @@ object Dedup {
     * carry-both-arrays + array_intersect plan was 35% of the whole bench). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), n)).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-      .filter(col("nsh") > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = trackPersist(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), n)).as("sh"))
+        .withColumn("nsh", size(col("sh")))
+        .filter(col("nsh") > 0))
 
     // global shingle frequency → total order (freq asc, shingle asc)
     val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
@@ -295,9 +324,9 @@ object Dedup {
     require(planes % bands == 0, "planes must be divisible by bands")
     val bits = planes / bands
     val mask = (1L << bits) - 1
-    val withSig = spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .select(col("id"), col("vec"), hyperplaneSignature(col("vec"), planes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withSig = trackPersist(
+      spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+        .select(col("id"), col("vec"), hyperplaneSignature(col("vec"), planes).as("sig")))
 
     val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -7,35 +9,50 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.{Linkage, Scoring}
 
 /** Incremental linkage over a stream of page micro-batches: each batch
-  * re-pairs and re-scores ONLY the blocks it touches (the block keys the
-  * batch's [[StreamingIngest.blockStats]] rows report), carrying every other
+  * re-pairs and re-scores ONLY the blocks it touches, carrying every other
   * block's scored pairs forward untouched.
   *
   * Scale rationale: a naive streaming design re-runs the full pair join per
   * batch — O(total²/blocks) work for a batch that touched 0.01% of blocks.
-  * Here the per-batch cost is bounded by Σ(touched block)², independent of
+  * Here the per-batch COMPUTE is bounded by Σ(touched block)², independent of
   * the accumulated corpus size; untouched blocks cost one anti-join probe.
   * Within a touched block old×old pairs are re-scored along with new pairs —
   * redundant but bounded (the scorer is linear in pairs) and it keeps the
-  * state model trivial: `scored` is always exactly "every block scored as of
-  * its last touch".
+  * state model trivial: "every block scored as of its last touch".
+  *
+  * State I/O is LSM-shaped so the per-batch WRITE is bounded too (round-2
+  * rewrote the full accumulated state every batch — O(corpus) I/O, and old
+  * versions were never deleted):
+  *  - per batch N the driver writes only the DELTAS: `prepared_delta_N`
+  *    (the batch's prepared rows), `scored_delta_N` (pairs of touched
+  *    blocks), `changed_N` (touched block keys — tiny);
+  *  - state reconstruction is a last-touch merge: a block's pairs come from
+  *    the latest delta that touched it ([[loadScoredState]]);
+  *  - every `compactEvery` batches the full merged state is written AS that
+  *    batch's delta (with `changed` = every known block) and a `compacted_N`
+  *    marker commits it (tmp + atomic rename, the Snapshots convention);
+  *  - superseded deltas are garbage-collected at the START of a later batch,
+  *    never in the batch that wrote the compaction: foreachBatch re-delivers
+  *    a crashed batch N, and recomputing N's delta needs the pre-N state —
+  *    GC only touches batches older than a compaction that some COMMITTED
+  *    later batch has already observed, so a re-run always finds its inputs.
+  * Storage is ≤ 2× state between compactions; read-side merge spans at most
+  * `compactEvery` deltas.
   */
 object IncrementalLinkage {
 
   case class Step(prepared: DataFrame, scored: DataFrame,
                   changedBlocks: Long, pairsRescored: Long)
 
-  /** One incremental step.
-    *
-    * @param prevPrepared accumulated prepared records (empty on first batch)
-    * @param prevScored   accumulated scored pairs (empty on first batch)
-    * @param batch        the new micro-batch of raw pages
-    */
-  def step(prevPrepared: DataFrame, prevScored: DataFrame, batch: DataFrame,
-           cfg: Linkage.Config = Linkage.Config()): Step = {
+  /** The per-batch increment: the batch's prepared rows, the touched block
+    * keys, and the re-scored pairs of the touched blocks. */
+  case class Delta(bPrep: DataFrame, changed: DataFrame, rescored: DataFrame)
+
+  /** Compute one batch's delta against the accumulated prepared state. */
+  def delta(prevPrepared: DataFrame, batch: DataFrame,
+            cfg: Linkage.Config = Linkage.Config()): Delta = {
     val bPrep = Linkage.prepare(batch, cfg)
     val changed = bPrep.select("block_key").distinct()
-
     // records that participate in re-pairing: the batch + every existing
     // record in a touched block (left-semi: key-colocated probe, no payload)
     val affected = prevPrepared
@@ -45,12 +62,27 @@ object IncrementalLinkage {
       graft.operators.Blocking.candidatePairs(
         affected, "block_key", "url", payloadCols = Seq("canon"), cfg.maxBlock),
       cfg.threshold)
+    Delta(bPrep, changed, rescored)
+  }
 
+  /** One incremental step with in-memory state (the batch-equality surface;
+    * the streaming driver below persists deltas instead of merged state).
+    *
+    * @param prevPrepared accumulated prepared records (empty on first batch)
+    * @param prevScored   accumulated scored pairs (empty on first batch)
+    * @param batch        the new micro-batch of raw pages
+    */
+  def step(prevPrepared: DataFrame, prevScored: DataFrame, batch: DataFrame,
+           cfg: Linkage.Config = Linkage.Config()): Step = {
+    val d = delta(prevPrepared, batch, cfg)
     // untouched blocks keep their pairs verbatim (anti-join on the key)
-    val kept = prevScored.join(changed, Seq("block_key"), "left_anti")
-
-    Step(prevPrepared.unionByName(bPrep), kept.unionByName(rescored),
-      changed.count(), rescored.count())
+    val kept = prevScored.join(d.changed, Seq("block_key"), "left_anti")
+    // bookkeeping counts folded into ONE action (two 1-row aggregates meet
+    // in a cross join — a single driver round-trip per micro-batch)
+    val stats = d.changed.agg(count(lit(1)).as("cb"))
+      .crossJoin(d.rescored.agg(count(lit(1)).as("pr"))).head()
+    Step(prevPrepared.unionByName(d.bPrep), kept.unionByName(d.rescored),
+      stats.getLong(0), stats.getLong(1))
   }
 
   private def emptyPages(spark: SparkSession): DataFrame =
@@ -62,28 +94,134 @@ object IncrementalLinkage {
     spark.emptyDataset[graft.operators.ScoredPair].toDF()
   }
 
-  private def loadLatest(spark: SparkSession, stateDir: String, name: String,
-                         beforeBatch: Long, empty: => DataFrame): DataFrame = {
-    val dirs = (0L until beforeBatch).map(b => s"$stateDir/${name}_$b")
-      .filter(d => new java.io.File(d, "_SUCCESS").exists())
-    if (dirs.isEmpty) empty else spark.read.parquet(dirs.last)
+  // ----------------------------- state layout ------------------------------
+
+  /** Batch ids with a fully committed delta (all three dirs have _SUCCESS),
+    * ascending. */
+  def committedBatches(stateDir: String): Seq[Long] = {
+    val d = new java.io.File(stateDir)
+    val names = Option(d.list()).getOrElse(Array.empty[String])
+    names.collect { case n if n.startsWith("changed_") => n.stripPrefix("changed_").toLong }
+      .filter { b =>
+        Seq(s"changed_$b", s"prepared_delta_$b", s"scored_delta_$b")
+          .forall(n => new java.io.File(new java.io.File(d, n), "_SUCCESS").exists())
+      }.sorted.toSeq
+  }
+
+  /** Committed compaction markers, ascending. */
+  def compactions(stateDir: String): Seq[Long] = {
+    val d = new java.io.File(stateDir)
+    Option(d.list()).getOrElse(Array.empty[String])
+      .collect { case n if n.startsWith("compacted_") => n.stripPrefix("compacted_").toLong }
+      .sorted.toSeq
+  }
+
+  /** The delta batches that constitute the state before `beforeBatch`:
+    * everything from the latest compaction point forward. */
+  private def liveBatches(stateDir: String, beforeBatch: Long): Seq[Long] = {
+    val committed = committedBatches(stateDir).filter(_ < beforeBatch)
+    compactions(stateDir).filter(_ < beforeBatch).lastOption match {
+      case Some(c) => committed.filter(_ >= c)
+      case None    => committed
+    }
+  }
+
+  /** Accumulated prepared state before `beforeBatch`: prepared rows are
+    * append-only (a page belongs to exactly one batch), so the state is the
+    * plain union of live deltas. */
+  def loadPreparedState(spark: SparkSession, stateDir: String,
+                        beforeBatch: Long = Long.MaxValue,
+                        cfg: Linkage.Config = Linkage.Config()): DataFrame = {
+    val bs = liveBatches(stateDir, beforeBatch)
+    if (bs.isEmpty) Linkage.prepare(emptyPages(spark), cfg)
+    else bs.map(b => spark.read.parquet(s"$stateDir/prepared_delta_$b"))
+      .reduce(_ unionByName _)
+  }
+
+  /** Accumulated scored state before `beforeBatch`: last-touch merge — a
+    * block's pairs come from the latest delta whose `changed` set contains
+    * the block (later touches fully re-score a block, superseding earlier
+    * pairs). One small join against the per-block max-batch map; no
+    * full-state rewrite ever happened to produce it. */
+  def loadScoredState(spark: SparkSession, stateDir: String,
+                      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val bs = liveBatches(stateDir, beforeBatch)
+    if (bs.isEmpty) return emptyScored(spark)
+    val pairs = bs.map(b => spark.read.parquet(s"$stateDir/scored_delta_$b")
+      .withColumn("batch", lit(b))).reduce(_ unionByName _)
+    val changed = bs.map(b => spark.read.parquet(s"$stateDir/changed_$b")
+      .withColumn("batch", lit(b))).reduce(_ unionByName _)
+    val lastTouch = changed.groupBy("block_key").agg(max(col("batch")).as("batch"))
+    pairs.join(lastTouch, Seq("block_key", "batch")).drop("batch")
+  }
+
+  /** GC deltas made redundant by a compaction that a COMMITTED later batch
+    * has observed (only call at the start of batch N: batches < N are
+    * checkpoint-committed and will never re-run, so nothing deleted here can
+    * be needed to recompute a redelivered batch). */
+  private def gcSuperseded(stateDir: String, currentBatch: Long): Unit = {
+    compactions(stateDir).filter(_ < currentBatch).lastOption.foreach { c =>
+      committedBatches(stateDir).filter(_ < c).foreach { b =>
+        Seq(s"changed_$b", s"prepared_delta_$b", s"scored_delta_$b").foreach { n =>
+          val dir = Paths.get(stateDir, n)
+          if (Files.isDirectory(dir)) {
+            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+        }
+      }
+    }
   }
 
   /** Streaming driver: file-source pages stream → foreachBatch incremental
-    * step; state (prepared + scored) is versioned parquet per batch id, so a
-    * restart resumes from the last committed batch (checkpoint tracks which
-    * input files are consumed — exactly-once per batch). */
+    * delta; state is per-batch delta parquet + periodic compaction (see
+    * class doc), so a restart resumes from the last committed batch
+    * (checkpoint tracks which input files are consumed — exactly-once per
+    * batch) and per-batch state I/O is O(delta), not O(corpus). */
   def run(spark: SparkSession, inDir: String, stateDir: String,
-          checkpoint: String, cfg: Linkage.Config = Linkage.Config()): StreamingQuery = {
+          checkpoint: String, cfg: Linkage.Config = Linkage.Config(),
+          compactEvery: Int = 8): StreamingQuery = {
     StreamingIngest.readPages(spark, inDir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
-        val prevP = loadLatest(sp, stateDir, "prepared", batchId,
-          Linkage.prepare(emptyPages(sp), cfg))
-        val prevS = loadLatest(sp, stateDir, "scored", batchId, emptyScored(sp))
-        val r = step(prevP, prevS, batch.toDF(), cfg)
-        r.prepared.write.mode("overwrite").parquet(s"$stateDir/prepared_$batchId")
-        r.scored.write.mode("overwrite").parquet(s"$stateDir/scored_$batchId")
+        gcSuperseded(stateDir, batchId)
+        val prevP = loadPreparedState(sp, stateDir, batchId, cfg)
+        val d = delta(prevP, batch.toDF(), cfg)
+        // the batch's prepared rows feed all three writes — cache for the
+        // scope of this micro-batch (cache matching is by analyzed plan, so
+        // the changed/rescored subtrees hit it too)
+        d.bPrep.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+        val live = liveBatches(stateDir, batchId)
+        // count deltas SINCE the last compaction base (the base itself is a
+        // live batch but not a delta — counting it would compact every batch)
+        val base = compactions(stateDir).filter(_ < batchId).lastOption
+        val doCompact = compactEvery > 0 &&
+          live.count(b => !base.contains(b)) + 1 >= compactEvery
+        if (!doCompact) {
+          d.bPrep.write.mode("overwrite").parquet(s"$stateDir/prepared_delta_$batchId")
+          d.rescored.write.mode("overwrite").parquet(s"$stateDir/scored_delta_$batchId")
+          d.changed.write.mode("overwrite").parquet(s"$stateDir/changed_$batchId")
+        } else {
+          // compaction batch: this delta IS the full state; `changed` covers
+          // every known block so the last-touch merge resolves to it alone
+          val prevS = loadScoredState(sp, stateDir, batchId)
+          val kept = prevS.join(d.changed, Seq("block_key"), "left_anti")
+          prevP.unionByName(d.bPrep).write.mode("overwrite")
+            .parquet(s"$stateDir/prepared_delta_$batchId")
+          kept.unionByName(d.rescored).write.mode("overwrite")
+            .parquet(s"$stateDir/scored_delta_$batchId")
+          val allChanged = live.map(b => sp.read.parquet(s"$stateDir/changed_$b"))
+            .foldLeft(d.changed)(_ unionByName _).distinct()
+          allChanged.write.mode("overwrite").parquet(s"$stateDir/changed_$batchId")
+          // marker LAST, atomically — a crash before this line leaves an
+          // oversized but correct delta; after it, older deltas are redundant
+          val tmp = Paths.get(stateDir, s"compacted_$batchId.tmp")
+          Files.write(tmp, Array.empty[Byte])
+          Files.move(tmp, Paths.get(stateDir, s"compacted_$batchId"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        d.bPrep.unpersist(false)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -164,14 +164,54 @@ class SnapshotStreamingSpec extends AnyFunSuite {
     b.write.mode("append").parquet(inDir)
     IncrementalLinkage.run(spark, inDir, stateDir, ckpt).awaitTermination()
 
-    // batch ids 0 and 1 committed; final state equals the full recompute
-    assert(new java.io.File(s"$stateDir/scored_0/_SUCCESS").exists())
-    assert(new java.io.File(s"$stateDir/scored_1/_SUCCESS").exists())
-    val inc = spark.read.parquet(s"$stateDir/scored_1")
+    // batch ids 0 and 1 committed as DELTAS; the merged state equals the
+    // full recompute
+    assert(IncrementalLinkage.committedBatches(stateDir) == Seq(0L, 1L))
+    val inc = IncrementalLinkage.loadScoredState(spark, stateDir)
       .select("url_a", "url_b", "score", "is_match")
     val full = Linkage.scored(Linkage.prepare(all))
       .select("url_a", "url_b", "score", "is_match")
     assert(inc.except(full).count() == 0 && full.except(inc).count() == 0)
+
+    // per-batch WRITE is O(delta), not O(corpus): batch 1's scored delta
+    // holds only its touched blocks' pairs, strictly fewer than the state
+    val d1 = spark.read.parquet(s"$stateDir/scored_delta_1").count()
+    val total = inc.count()
+    assert(d1 < total, s"batch-1 delta ($d1) not smaller than full state ($total)")
+    all.unpersist()
+  }
+
+  test("incremental linkage: compaction commits full state and GC removes superseded deltas") {
+    import graft.streaming.IncrementalLinkage
+    val inDir = tmpDir("inc-in-c")
+    val stateDir = tmpDir("inc-state-c")
+    val ckpt = tmpDir("inc-ckpt-c")
+    val all = Pages.synthesize(spark, 600).toDF().persist()
+    val parts = Seq(
+      all.filter(Pages.goldEntityId(col("url")) < 70),
+      all.filter(Pages.goldEntityId(col("url")) >= 70 && Pages.goldEntityId(col("url")) < 140),
+      all.filter(Pages.goldEntityId(col("url")) >= 140))
+
+    // compactEvery=2: batch 1 compacts; batch 2 GCs batch 0's deltas
+    parts.foreach { p =>
+      p.write.mode("append").parquet(inDir)
+      IncrementalLinkage.run(spark, inDir, stateDir, ckpt, compactEvery = 2)
+        .awaitTermination()
+    }
+    assert(IncrementalLinkage.compactions(stateDir) == Seq(1L),
+      s"expected one compaction: ${IncrementalLinkage.compactions(stateDir)}")
+    // batch 0's deltas were superseded by compaction 1 and GC'd by batch 2
+    assert(!new java.io.File(s"$stateDir/scored_delta_0").exists(),
+      "superseded delta not garbage-collected")
+    assert(IncrementalLinkage.committedBatches(stateDir) == Seq(1L, 2L))
+
+    // state after compaction + GC still equals the full recompute
+    val inc = IncrementalLinkage.loadScoredState(spark, stateDir)
+      .select("url_a", "url_b", "score", "is_match")
+    val full = Linkage.scored(Linkage.prepare(all))
+      .select("url_a", "url_b", "score", "is_match")
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "compacted+GC'd state diverged from full recompute")
     all.unpersist()
   }
 }
