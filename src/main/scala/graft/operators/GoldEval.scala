@@ -120,54 +120,118 @@ object GoldEval {
     out.toSeq
   }
 
+  // ------------------------- cross-corpus name mining -----------------------
+
+  /** Admin-unit keyword canonicals stripped from mined span names (re-extended
+    * at predict time by the spans() keyword rule). */
+  private val SpanKeywords = Set("mah", "cad", "sk")
+
+  /** Canonical gazetteer name of one gold span: per-token canon, trailing
+    * keyword tokens stripped; None when nothing letter-bearing remains. */
+  private def spanName(toks: Array[String], s: Int, e: Int): Option[String] = {
+    val canon = toks.slice(s, e).map(canonToken).filter(_.nonEmpty)
+    val trimmed = canon.reverse.dropWhile(SpanKeywords).reverse
+    val name = trimmed.mkString(" ").trim
+    if (name.isEmpty || !name.exists(_.isLetter) || SpanKeywords(name)) None
+    else Some(name)
+  }
+
+  /** Harvest gazetteer rows from gold annotations: every sentence's
+    * (IL, ILCE, MAHALLE) surface forms become rows, so co-occurring spans
+    * carry their real hierarchy into the index (a MAHALLE seen with its ILCE
+    * is findable under that district's restriction; one seen alone matches
+    * through the unrestricted fallback). Deterministic, annotation-only —
+    * no model, no frequency fitting — so "mining" is exactly gazetteer
+    * ingestion, the path [[Gazetteer.etl]] takes for any PTT-shaped input. */
+  def mineRows(paths: Seq[String]): Seq[graft.sources.GazRow] = {
+    paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }
+      .flatMap { case (_, toks, tags) =>
+        val sps = tagsToSpans(tags)
+        def names(tpe: String): Seq[String] =
+          sps.filter(_._1 == tpe).flatMap { case (_, s, e) => spanName(toks, s, e) }
+        val il = names("IL").headOption.getOrElse("")
+        val ilce = names("ILCE").headOption.getOrElse("")
+        val ilceRows =
+          names("ILCE").map(d => graft.sources.GazRow(il, d, "", ""))
+        val mahRows =
+          names("MAHALLE").map(m => graft.sources.GazRow(il, ilce, m, ""))
+        ilceRows ++ mahRows
+      }.distinct
+  }
+
   /** The evaluation: rule-based spans vs gold spans, per-type + micro PRF.
     * Gold files are driver-read (3 tiny fixtures); sentences fan out as a
-    * Dataset so the extraction kernel runs distributed like production. */
-  def evaluate(spark: SparkSession, paths: Seq[String] = DefaultPaths): DataFrame = {
-    import spark.implicits._
-    val sents = paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }
-    val idx = StaticParser.broadcastIndex(spark)
+    * Dataset so the extraction kernel runs distributed like production.
+    *
+    * With `mineCross` (default) each corpus is predicted with an index whose
+    * gazetteer is augmented by names mined from the OTHER corpora only —
+    * strict held-out protocol, never harvest-and-eval on the same file; the
+    * per-type/micro PRF pools all corpora. `mineCross = false` is the plain
+    * in-gazetteer evaluation (round-2 behavior). */
+  def evaluate(spark: SparkSession, paths: Seq[String] = DefaultPaths,
+               mineCross: Boolean = true): DataFrame = {
+    val (pred, gold) = predictions(spark, paths, mineCross)
+    Eval.entityPRF(pred, gold)
+  }
 
-    val gold = sents.flatMap { case (sid, _, tags) =>
+  /** Shared prediction surface for [[evaluate]] and [[confusion]]:
+    * (pred spans, gold spans) over all corpora, leave-one-corpus-out mined. */
+  private def predictions(spark: SparkSession, paths: Seq[String],
+                          mineCross: Boolean): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val byCorpus = paths.zipWithIndex.map { case (p, i) => (p, readGold(p, i)) }
+    val gold = byCorpus.flatMap(_._2).flatMap { case (sid, _, tags) =>
       tagsToSpans(tags).map { case (t, s, e) => (sid, t, s, e) }
     }.toDF("sent_id", "entity_type", "start", "end")
 
-    val pred = spark.createDataset(sents.map { case (sid, toks, _) => (sid, toks) })
-      .mapPartitions { it =>
-        val ix = idx.value
-        it.flatMap { case (sid, toks) =>
-          val canon = toks.map(canonToken)
-          NerOutputs.spans(canon, ix).map { case (t, s, e) => (sid, t, s, e) }
-        }
-      }.toDF("sent_id", "entity_type", "start", "end")
-
-    Eval.entityPRF(pred, gold)
+    val preds = byCorpus.map { case (path, sents) =>
+      val rows =
+        if (!mineCross) Gazetteer.rows
+        else Gazetteer.rows ++ mineRows(paths.filterNot(_ == path))
+      val idx = StaticParser.broadcastIndex(spark, rows)
+      spark.createDataset(sents.map { case (sid, toks, _) => (sid, toks) })
+        .mapPartitions { it =>
+          val ix = idx.value
+          it.flatMap { case (sid, toks) =>
+            val canon = toks.map(canonToken)
+            NerOutputs.spans(canon, ix).map { case (t, s, e) => (sid, t, s, e) }
+          }
+        }.toDF("sent_id", "entity_type", "start", "end")
+    }.reduce(_ unionByName _)
+    (preds, gold)
   }
 
   /** TYPE-only token-level confusion matrix on the gold corpora (the
     * reference's notebook cell-28 view: B-/I- collapsed to the entity type,
-    * every token position counted). */
-  def confusion(spark: SparkSession, paths: Seq[String] = DefaultPaths): DataFrame = {
+    * every token position counted). Same leave-one-corpus-out mining protocol
+    * as [[evaluate]]. */
+  def confusion(spark: SparkSession, paths: Seq[String] = DefaultPaths,
+                mineCross: Boolean = true): DataFrame = {
     import spark.implicits._
-    val sents = paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }
-    val idx = StaticParser.broadcastIndex(spark)
-    val tokens = spark.createDataset(sents.map { case (sid, toks, tags) => (sid, toks, tags) })
-      .mapPartitions { it =>
-        val ix = idx.value
-        it.flatMap { case (sid, toks, tags) =>
-          val predTypes = Array.fill(toks.length)("O")
-          NerOutputs.spans(toks.map(canonToken), ix).foreach { case (t, s, e) =>
-            var k = s
-            while (k < e && k < predTypes.length) {
-              if (predTypes(k) == "O") predTypes(k) = t
-              k += 1
+    val tokens = paths.zipWithIndex.map { case (path, i) =>
+      val sents = readGold(path, i)
+      val rows =
+        if (!mineCross) Gazetteer.rows
+        else Gazetteer.rows ++ mineRows(paths.filterNot(_ == path))
+      val idx = StaticParser.broadcastIndex(spark, rows)
+      spark.createDataset(sents.map { case (sid, toks, tags) => (sid, toks, tags) })
+        .mapPartitions { it =>
+          val ix = idx.value
+          it.flatMap { case (sid, toks, tags) =>
+            val predTypes = Array.fill(toks.length)("O")
+            NerOutputs.spans(toks.map(canonToken), ix).foreach { case (t, s, e) =>
+              var k = s
+              while (k < e && k < predTypes.length) {
+                if (predTypes(k) == "O") predTypes(k) = t
+                k += 1
+              }
+            }
+            tags.zipWithIndex.map { case (g, pos) =>
+              (sid, pos, if (g == "O") "O" else g.drop(2), predTypes(pos))
             }
           }
-          tags.zipWithIndex.map { case (g, pos) =>
-            (sid, pos, if (g == "O") "O" else g.drop(2), predTypes(pos))
-          }
-        }
-      }.toDF("sent_id", "pos", "gold_type", "pred_type")
+        }.toDF("sent_id", "pos", "gold_type", "pred_type")
+    }.reduce(_ unionByName _)
     Eval.confusionMatrix(tokens)
   }
 }

@@ -48,84 +48,173 @@ object NerOutputs {
     "hastanesi", "universitesi", "bakkali", "oteli", "avm",
     "karsisi", "yani", "ustu", "girisi", "arkasi")
 
-  /** Token spans (start token, end token exclusive, type) for one token array. */
-  def spans(tokens: Array[String], idx: Gazetteer.Index): Seq[(String, Int, Int)] = {
-    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+  /** Keyword canonicals that can never be part of an entity NAME (stop the
+    * left-walk that attaches name tokens to a keyword anchor). */
+  private val StopKw: Set[String] =
+    Set("mah", "cad", "sk", "no", "kat", "daire", "d", ":", "/") ++
+      SiteKw ++ BinaAdiKw ++ BulvarKw ++ TarifKw
 
+  /** Token spans (start token, end token exclusive, type) for one token array.
+    *
+    * Evidence order (round-3, tuned on the pooled gold corpora with the
+    * leave-one-corpus-out protocol of [[GoldEval]]):
+    *  1. gazetteer probes for IL/ILCE are TENTATIVE;
+    *  2. the keyword pass claims anchors and walks LEFT over up to `nameWalk`
+    *     name tokens ("adnan menderes cad" is one CADDE span) — the adjacent
+    *     name token is claimed even if a tentative gazetteer span covers it
+    *     (keyword evidence wins: "ataturk cad" is an avenue, not the
+    *     gazetteer neighbourhood "ataturk"), while the walk beyond it stops
+    *     at covered/stop tokens so "izmir bornova kazimdirik mah" keeps its
+    *     IL/ILCE spans;
+    *  3. tentative IL/ILCE spans that overlap a keyword span are dropped;
+    *  4. the gazetteer MAHALLE probe runs last and only fills sentences where
+    *     no keyword-anchored MAHALLE exists (bare names like "mavisehir").
+    */
+  def spans(tokens: Array[String], idx: Gazetteer.Index,
+            nameWalk: Int = 2): Seq[(String, Int, Int)] = {
+    val T = tokens.length
+    def digits(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
+    def nameLike(s: String): Boolean =
+      s.nonEmpty && s.forall(_.isLetter) && !StopKw(s)
+
+    // --- 1. tentative admin probes (NER surface: hierarchy-restricted probe
+    // first, unrestricted retry on miss — real-world corpora name admin units
+    // whose (province, district) edge the gazetteer doesn't know, and for
+    // span EXTRACTION a type-correct span beats a hierarchy-consistent miss.
+    // The parser surface (StaticParser.parse) keeps the reference's strict
+    // restriction semantics.)
     val prov = StaticParser.bestMatch(tokens, idx.provIndex, None)
-    prov.foreach { case (_, s, e) => out += (("IL", s, e)) }
     val allowedD = prov.map(p => idx.provToDistricts.getOrElse(p._1, Set.empty[String]))
     val dist = StaticParser.bestMatch(tokens, idx.distIndex, allowedD)
-    dist.foreach { case (_, s, e) => out += (("ILCE", s, e)) }
-    val provName = prov.map(_._1).orElse(dist.flatMap(d => idx.distToFirstProv.get(d._1)))
-    val allowedN = dist.map { d =>
-      provName match {
-        case Some(p) => idx.pairToNbhds.getOrElse((p, d._1), Set.empty[String])
-        case None    => idx.distToNbhdUnion.getOrElse(d._1, Set.empty[String])
-      }
-    }
-    // gold annotation convention (goldset_1k_yegeb.conll): the keyword token
-    // belongs to the span — "Foça mahallesi" is B-MAHALLE I-MAHALLE. Extend
-    // the gazetteer name match over a following canonical "mah".
-    StaticParser.bestMatch(tokens, idx.nbhdIndex, allowedN)
-      .foreach { case (_, s, e) =>
-        val e2 = if (e < tokens.length && tokens(e) == "mah") e + 1 else e
-        out += (("MAHALLE", s, e2))
-      }
+      .orElse(if (allowedD.isDefined)
+        StaticParser.bestMatch(tokens, idx.distIndex, None) else None)
+    val admin = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    prov.foreach { case (_, s, e) => admin += (("IL", s, e)) }
+    dist.foreach { case (_, s, e) => admin += (("ILCE", s, e)) }
+    def adminCovered(k: Int): Boolean =
+      admin.exists { case (_, s, e) => s <= k && k < e }
 
+    // --- 2. keyword pass ---
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
     def covered(k: Int): Boolean = out.exists { case (_, s, e) => s <= k && k < e }
-    def digits(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
+    // left boundary of a keyword-anchored name: claim the adjacent token when
+    // it is a name or (for street-family anchors) a number ("1004 sokak");
+    // extend over further NAME tokens while they are not claimed by anything
+    def nameStart(i: Int, digitFirst: Boolean): Int = {
+      if (i == 0) return i
+      val adj = tokens(i - 1)
+      val adjOk = !covered(i - 1) &&
+        (nameLike(adj) || (digitFirst && digits(adj)))
+      if (!adjOk) return i
+      var j = i - 1
+      var steps = 1
+      while (steps < nameWalk && j > 0 && nameLike(tokens(j - 1)) &&
+          !covered(j - 1) && !adminCovered(j - 1)) {
+        j -= 1; steps += 1
+      }
+      j
+    }
 
     var i = 0
-    while (i < tokens.length) {
+    while (i < T) {
       val t = tokens(i)
       // postcode: standalone 5-digit token
       if (t.length == 5 && digits(t)) out += (("POSTA_KODU", i, i + 1))
+      // neighbourhood: name + canonical keyword — the dominant gold surface
+      // form ("kazimdirik mah"); bare names are the gazetteer probe's job
+      if (t == "mah") {
+        val j = nameStart(i, digitFirst = true)
+        if (j < i) out += (("MAHALLE", j, i + 1))
+      }
       // street/avenue: name + canonical indicator (the keyword is part of
       // the span in the reference's annotation — "1004 sokak" is B-/I-SOKAK)
-      if ((t == "sk" || t == "cad") && i > 0) {
-        val tag = if (t == "sk") "SOKAK" else "CADDE"
-        if (!covered(i - 1)) out += ((tag, i - 1, i + 1))
+      if (t == "sk" || t == "cad") {
+        val j = nameStart(i, digitFirst = true)
+        if (j < i) out += ((if (t == "sk") "SOKAK" else "CADDE", j, i + 1))
       }
       // boulevard: name + keyword (static-normalized surface forms)
-      if (NerOutputs.BulvarKw(t) && i > 0 && !covered(i - 1))
-        out += (("BULVAR", i - 1, i + 1))
+      if (NerOutputs.BulvarKw(t)) {
+        val j = nameStart(i, digitFirst = false)
+        if (j < i) out += (("BULVAR", j, i + 1))
+      }
       // site/residence: name + keyword (F2J SITE_ADI family)
-      if (NerOutputs.SiteKw(t) && i > 0 && !covered(i - 1))
-        out += (("SITE_ADI", i - 1, i + 1))
+      if (NerOutputs.SiteKw(t)) {
+        val j = nameStart(i, digitFirst = false)
+        if (j < i) out += (("SITE_ADI", j, i + 1))
+      }
       // building name: blok/apartman keywords; "blok : A" keyword-first form
       if (NerOutputs.BinaAdiKw(t)) {
-        if (t == "blok" && i + 2 < tokens.length && tokens(i + 1) == ":") {
+        if (t == "blok" && i + 2 < T && tokens(i + 1) == ":") {
           // "blok : A94" normalizes to "blok : a 94" (N4 splits letter-digit
           // boundaries) — absorb the trailing digit run into the label span
-          val end = if (i + 3 < tokens.length && digits(tokens(i + 3))) i + 4 else i + 3
+          val end = if (i + 3 < T && digits(tokens(i + 3))) i + 4 else i + 3
           out += (("BINA_ADI", i, end))
-        } else if (i > 0 && !covered(i - 1))
-          out += (("BINA_ADI", i - 1, i + 1))
+        } else {
+          val j = nameStart(i, digitFirst = false)
+          if (j < i) out += (("BINA_ADI", j, i + 1))
+        }
       }
       // landmark/directions anchor (TARIF): name + anchor keyword
-      if (NerOutputs.TarifKw(t) && i > 0 && !covered(i - 1))
-        out += (("TARIF", i - 1, i + 1))
+      if (NerOutputs.TarifKw(t)) {
+        val j = nameStart(i, digitFirst = false)
+        if (j < i) out += (("TARIF", j, i + 1))
+      }
       // floor: "kat : 3" / "kat 3"
-      if (t == "kat" && i + 1 < tokens.length) {
-        val j = if (tokens(i + 1) == ":" && i + 2 < tokens.length) i + 2 else i + 1
-        if (j < tokens.length && digits(tokens(j)) && tokens(j).length <= 3)
+      if (t == "kat" && i + 1 < T) {
+        val j = if (tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
+        if (j < T && digits(tokens(j)) && tokens(j).length <= 3)
           out += (("KAT", i, j + 1))
       }
-      // flat: "daire[:] 5" / "d : 5"
-      if ((t == "daire" || (t == "d" && i + 1 < tokens.length && tokens(i + 1) == ":"))
-          && i + 1 < tokens.length) {
-        val j = if (tokens(i + 1) == ":" && i + 2 < tokens.length) i + 2 else i + 1
-        if (j < tokens.length && digits(tokens(j)) && tokens(j).length <= 3)
+      // flat: "daire [no] [:] 5" / "d : 5"
+      if ((t == "daire" || (t == "d" && i + 1 < T && tokens(i + 1) == ":"))
+          && i + 1 < T) {
+        var j = i + 1
+        if (t == "daire" && j < T && tokens(j) == "no") j += 1
+        if (j < T && tokens(j) == ":") j += 1
+        if (j < T && digits(tokens(j)) && tokens(j).length <= 3)
           out += (("DAIRE_NO", i, j + 1))
       }
+      // flat, slash form: "12 / 3" — gold tags "/ 3" as the DAIRE_NO span
+      if (t == "/" && i > 0 && i + 1 < T && digits(tokens(i - 1)) &&
+          !covered(i) && !covered(i + 1)) {
+        val nxt = tokens(i + 1)
+        if ((digits(nxt) && nxt.length <= 3) ||
+            (nxt.length == 1 && nxt.charAt(0).isLetter))
+          out += (("DAIRE_NO", i, i + 2))
+      }
       // building number: "no[:] 12" — keyword + digits, like the annotation
-      if (t == "no" && i + 1 < tokens.length && !covered(i)) {
-        val j = if (tokens(i + 1) == ":" && i + 2 < tokens.length) i + 2 else i + 1
-        if (j < tokens.length && digits(tokens(j)) && tokens(j).length <= 4)
+      if (t == "no" && i + 1 < T && !covered(i)) {
+        val j = if (tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
+        if (j < T && digits(tokens(j)) && tokens(j).length <= 4)
           out += (("BINA_NO", i, j + 1))
       }
       i += 1
+    }
+
+    // --- 3. keyword evidence wins over tentative admin point matches
+    out ++= admin.filterNot { case (_, s, e) =>
+      out.exists { case (_, s2, e2) => s < e2 && s2 < e }
+    }
+
+    // --- 4. gazetteer MAHALLE probe for bare (keyword-less) names ---
+    if (!out.exists(_._1 == "MAHALLE")) {
+      val provName = prov.map(_._1).orElse(dist.flatMap(d => idx.distToFirstProv.get(d._1)))
+      val allowedN = dist.map { d =>
+        provName match {
+          case Some(p) => idx.pairToNbhds.getOrElse((p, d._1), Set.empty[String])
+          case None    => idx.distToNbhdUnion.getOrElse(d._1, Set.empty[String])
+        }
+      }
+      // gold annotation convention (goldset_1k_yegeb.conll): the keyword
+      // token belongs to the span — extend over a following canonical "mah"
+      StaticParser.bestMatch(tokens, idx.nbhdIndex, allowedN)
+        .orElse(if (allowedN.isDefined)
+          StaticParser.bestMatch(tokens, idx.nbhdIndex, None) else None)
+        .foreach { case (_, s, e) =>
+          val e2 = if (e < T && tokens(e) == "mah") e + 1 else e
+          if (!out.exists { case (_, s2, e2b) => s < e2b && s2 < e2 })
+            out += (("MAHALLE", s, e2))
+        }
     }
     out.toSeq.sortBy(_._2)
   }

@@ -167,7 +167,9 @@ class NerBioSpec extends AnyFunSuite {
     assert(byType("SITE_ADI").contains("folkart sitesi"), byType.toString)
     assert(byType("BINA_ADI").contains("b blok"))
     assert(byType("DAIRE_NO").contains("daire : 3"))
-    assert(byType("BULVAR").contains("ozal bulvari"))
+    // round-3: keyword anchors absorb up to nameWalk=2 name tokens (the gold
+    // corpora tag the full name — "turgut ozal bulvari" is ONE span)
+    assert(byType("BULVAR").contains("turgut ozal bulvari"))
     assert(byType("KAT").contains("kat : 2"))
     assert(byType("TARIF").exists(_.contains("karsisi")))
     // keyword-first blok form
@@ -177,7 +179,7 @@ class NerBioSpec extends AnyFunSuite {
       t -> xs.map { case (_, s, e) => t2.slice(s, e).mkString(" ") } }
     assert(by2("BINA_ADI").contains("blok : a 94"), by2.toString)
     assert(by2("DAIRE_NO").contains("d : 17"))
-    assert(by2("SITE_ADI").contains("perla rezidans"))
+    assert(by2("SITE_ADI").contains("ege perla rezidans"))
   }
 
   test("gold-corpus eval: reference gold CoNLL files load and score") {
@@ -208,10 +210,11 @@ class NerBioSpec extends AnyFunSuite {
     info(f"rule-based extractor on gold: P=${micro._1}%.4f R=${micro._2}%.4f F1=${micro._3}%.4f over ${micro._4} gold entities")
     prf.orderBy("entity_type").collect().foreach(r => info(r.toString))
     assert(micro._4 >= 1000, s"only ${micro._4} gold entities loaded")
-    // honest rule-based floor: measured 0.600 micro F1 (P .80 / R .48) with
-    // spans aligned to the gold convention; the reference's fine-tuned BERT
-    // reports 0.7492 on a 20-sample slice. Regression gate at 0.5.
-    assert(micro._3 >= 0.5, f"gold micro F1 ${micro._3}%.4f regressed")
+    // round-3: leave-one-corpus-out name mining + keyword-first evidence
+    // order measured 0.7741 micro F1 (P .88 / R .69) — above the reference's
+    // fine-tuned BERT (0.7492 on a 20-sample slice). Deterministic pipeline,
+    // so the gate sits just under the measured value.
+    assert(micro._3 >= 0.74, f"gold micro F1 ${micro._3}%.4f regressed")
     prf.unpersist()
 
     // TYPE-only token confusion (the notebook cell-28 view): diagonal must
