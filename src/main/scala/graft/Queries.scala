@@ -320,6 +320,10 @@ object Queries {
     }),
     "q_bio_stats" -> ((s, dir) =>
       graft.sources.Bio.stats(graft.sources.Bio.synthesize(s, math.min(pagesFor(dir), 20000L)))),
+    "q_bio_avenues" -> ((s, dir) =>
+      // S8 top-10 avenue tally (ref generate_A2E_BIO_synth.py:270-274)
+      graft.sources.Bio.topAvenues(
+        graft.sources.Bio.synthesize(s, math.min(pagesFor(dir), 20000L)))),
     "q_gold_eval" -> ((s, dir) =>
       // per-type + micro PRF of the rule extractor on the reference's real
       // gold corpora (the reference's own published-metric surface)

@@ -156,42 +156,131 @@ object Bio {
 
   // ------------------------------ A2E generator -----------------------------
 
+  /** Avenue-name pool (representative subset of COMMON_AVENUE_NAMES,
+    * general_config.py:63-105 — the S8 top-10 tally runs over these). */
+  val AvenueNames: IndexedSeq[String] = IndexedSeq(
+    "Mustafa Kemal Sahil", "Mithatpaşa", "Kıbrıs Şehitleri", "Gazi",
+    "Fevzi Paşa", "Şair Eşref", "Ankara", "Anadolu", "Yeşildere",
+    "Cumhuriyet", "Girne", "Cemal Gürsel", "Homeros", "Mimar Sinan",
+    "Atatürk", "Aziziye", "Fatih", "İstasyon", "Hükümet", "Poligon")
+
+  // keyword variant pools after the reference's _sanitize_kw dot-strip
+  // (general_config.py:47-52)
+  private val NbhdKwPool = IndexedSeq("mahallesi", "mah", "mh")
+  private val AvenueKwPool = IndexedSeq("caddesi", "cadde", "cad", "cd")
+  private val StreetKwPool = IndexedSeq("sokak", "sk", "sok")
+  private val BinaNoKwPool = IndexedSeq("no", "bina no")
+  private val FlatNoKwPool = IndexedSeq("daire", "d", "daire no")
+  private val FloorKwPool = IndexedSeq("kat", "k")
+
+  /** A2E `generate_one` (ref group_A2E_BIO_synth.py:313-427) with the
+    * reference's structural probabilities (groupA2E_config.py): neighbourhood
+    * bare-form .25 (bare-uppercase .65), repeat-neighbourhood .15,
+    * avenue+street .45 / only-avenue .20 / only-street .35, segment shuffle
+    * .20, building/flat both .30 / building .35 / flat .35 (the CODE branch —
+    * the config's unused p_only_flat notwithstanding), flat-before-building
+    * swap .15, floor .25 (4 templates), colon-after-keyword .55, postcode
+    * ONLY before the admin pair at .10, admin slash .45 / district-first .65,
+    * prepend-admin-again .20 (with neighbourhood .40), all-uppercase .05,
+    * noise .05 with ≥3 separators from ("-","/"). */
   def sampleOf(seed: Long, id: Long): BioSample = {
     import Pages._
     val ent = entityOf(seed, id)
-    val r = rng(seed, id, 60)
+    val nbhdDisp = if (chance(seed, id, 40, 5)) trUpper(ent.rawNbhd) else ent.rawNbhd
+    val provDisp = if (chance(seed, id, 41, 15)) trUpper(ent.rawProvince) else ent.rawProvince
+    val distDisp = if (chance(seed, id, 42, 15)) trUpper(ent.rawDistrict) else ent.rawDistrict
 
-    val nbhdKw = pick(IndexedSeq("mahallesi", "mah", "mh"), seed, id, 61)
-    val streetKw = if (ent.isAvenue) pick(IndexedSeq("caddesi", "cad", "cd"), seed, id, 62)
-                   else pick(IndexedSeq("sokak", "sk", "sok"), seed, id, 63)
-    val streetType = if (ent.isAvenue) "CADDE" else "SOKAK"
+    def nbhdSeg(t: Long): Seq[(String, String)] =
+      if (chance(seed, id, t, 25)) { // p_neighborhood_bare
+        val nm = if (chance(seed, id, t + 1, 65)) trUpper(nbhdDisp) else nbhdDisp
+        seg("MAHALLE", nm.split(" "): _*)
+      } else
+        seg("MAHALLE", (nbhdDisp.split(" ") :+ pick(NbhdKwPool, seed, id, t + 2)): _*)
 
-    var segments = Seq(
-      seg("MAHALLE", (ent.rawNbhd.split(" ") :+ nbhdKw): _*),
-      seg(streetType, (ent.street.split(" ") :+ streetKw): _*),
-      seg("BINA_NO", "no", ":", ent.bina.toString))
-    // optional floor/flat (ref S2 KAT/DAIRE_NO emitters)
-    if ((r & 3) == 0)
-      segments :+= seg("KAT", "kat", ":", (1 + ((rng(seed, id, 64) >>> 1) % 9)).toString)
-    if ((r & 7) == 1)
-      segments :+= seg("DAIRE_NO", "daire", ":", (1 + ((rng(seed, id, 65) >>> 1) % 40)).toString)
-    // admin block: district / province + postcode (ref S3 admin pair)
-    val admin = (rng(seed, id, 66) & 3) match {
-      case 0 => seg("ILCE", ent.rawDistrict.split(" "): _*) ++ seg("O", "/") ++
-                seg("IL", ent.rawProvince.split(" "): _*) ++
-                seg("POSTA_KODU", ent.gaz.postcode)
-      case 1 => seg("POSTA_KODU", ent.gaz.postcode) ++
-                seg("ILCE", ent.rawDistrict.split(" "): _*) ++
-                seg("IL", ent.rawProvince.split(" "): _*)
-      case _ => seg("IL", ent.rawProvince.split(" "): _*) ++
-                seg("ILCE", ent.rawDistrict.split(" "): _*) ++
-                seg("POSTA_KODU", ent.gaz.postcode)
+    // --- core body: nbhd [+ repeat] + avenue/street, optionally shuffled ---
+    var body = Seq(nbhdSeg(43))
+    if (chance(seed, id, 46, 15)) body :+= nbhdSeg(47) // p_repeat_neighborhood
+    val rAS = (rng(seed, id, 50) >>> 1) % 100
+    if (rAS < 65) // both (.45) or only-avenue (.20): named avenue + keyword
+      body :+= seg("CADDE",
+        (pick(AvenueNames, seed, id, 51).split(" ") :+ pick(AvenueKwPool, seed, id, 52)): _*)
+    if (rAS < 45 || rAS >= 65) { // both or only-street: numeric street name
+      val n = (1 + ((rng(seed, id, 53) >>> 1) % 4000)).toString
+      val toks = if (chance(seed, id, 54, 35))
+        Seq(n, "/", (1 + ((rng(seed, id, 55) >>> 1) % 9)).toString)
+      else Seq(n)
+      body :+= seg("SOKAK", (toks :+ pick(StreetKwPool, seed, id, 56)): _*)
     }
-    var flat = segments.flatten ++ admin
-    // ≥3-separator O-noise + country tail at the reference's A2E rate
-    // (groupA2E_config.py:59 p_noise_boring_negatives = 0.05)
+    if (body.length > 1 && chance(seed, id, 57, 20)) // p_shuffle_segments
+      body = body.zipWithIndex.sortBy { case (_, i) => rng(seed, id, 58L + i) }.map(_._1)
+
+    var flat = body.flatten
+
+    // --- building / flat / floor ---
+    def numKwSeg(tpe: String, kwPool: IndexedSeq[String], t: Long, maxN: Int,
+                 slashLetter: Boolean): Seq[(String, String)] = {
+      val kw = pick(kwPool, seed, id, t).split(" ").toSeq
+      val kws = if (chance(seed, id, t + 1, 55)) kw :+ ":" else kw // p_colon .55
+      var toks = kws :+ (1 + ((rng(seed, id, t + 2) >>> 1) % maxN)).toString
+      if (slashLetter && chance(seed, id, t + 3, 35)) // "12 / A" building form
+        toks = toks ++ Seq("/",
+          "ABCDEFGH".charAt(((rng(seed, id, t + 4) >>> 1) % 8).toInt).toString)
+      seg(tpe, toks: _*)
+    }
+    def floorSeg(t: Long): Seq[(String, String)] = {
+      val num = (1 + ((rng(seed, id, t) >>> 1) % 20)).toString
+      ((rng(seed, id, t + 1) >>> 1) % 4) match { // the 4 reference templates
+        case 0 => seg("KAT", num, "kat")
+        case 1 => seg("KAT", pick(FloorKwPool, seed, id, t + 2), ":", num)
+        case 2 => seg("KAT", "k", ":", num)
+        case _ => seg("KAT", pick(FloorKwPool, seed, id, t + 3), num)
+      }
+    }
+    val rBF = (rng(seed, id, 60) >>> 1) % 100
+    val segBina =
+      if (rBF < 65) Some(numKwSeg("BINA_NO", BinaNoKwPool, 61, 300, slashLetter = true))
+      else None
+    val segFlat =
+      if (rBF < 30 || rBF >= 65) Some(numKwSeg("DAIRE_NO", FlatNoKwPool, 66, 120, slashLetter = false))
+      else None
+    val segFloor = if (chance(seed, id, 70, 25)) Some(floorSeg(71)) else None
+    val ordered =
+      if (segBina.isDefined && segFlat.isDefined && chance(seed, id, 75, 15))
+        Seq(segFlat, segBina, segFloor) // p_swap_flat_before_building
+      else Seq(segBina, segFlat, segFloor)
+    flat ++= ordered.flatten.flatten
+
+    // --- POSTA_KODU before admin (.10) — the ONLY postcode emission ---
+    if (chance(seed, id, 76, 10)) flat ++= seg("POSTA_KODU", ent.gaz.postcode)
+
+    // --- admin pair at end (slash .45, district-first .65) ---
+    val useSlash = chance(seed, id, 77, 45)
+    val distFirst = chance(seed, id, 78, 65)
+    def adminPair: Seq[(String, String)] = {
+      val sl = if (useSlash) seg("O", "/") else Nil
+      if (distFirst)
+        seg("ILCE", distDisp.split(" "): _*) ++ sl ++ seg("IL", provDisp.split(" "): _*)
+      else
+        seg("IL", provDisp.split(" "): _*) ++ sl ++ seg("ILCE", distDisp.split(" "): _*)
+    }
+    flat ++= adminPair
+
+    // --- optional prepend admin again (.20; with neighbourhood .40) ---
+    if (chance(seed, id, 80, 20)) {
+      var pre = Seq.empty[(String, String)]
+      if (chance(seed, id, 81, 40)) {
+        pre ++= seg("MAHALLE", nbhdDisp.split(" "): _*)
+        if (useSlash) pre ++= seg("O", "/")
+      }
+      flat = pre ++ adminPair ++ flat
+    }
+
+    // --- all-uppercase cosmetics (.05) ---
+    if (chance(seed, id, 82, 5)) flat = flat.map { case (t, y) => (trUpper(t), y) }
+
+    // --- ≥3-separator O-noise + country tail (.05, seps ("-","/")) ---
     if (chance(seed, id, 67, 5))
-      flat = injectNoise(flat, seed, id, minSeps = 3, seps = IndexedSeq("-", "/", "|"))
+      flat = injectNoise(flat, seed, id, minSeps = 3, seps = IndexedSeq("-", "/"))
 
     val tokens = flat.map(_._1).toArray
     val tags = flat.map(_._2).toArray
@@ -383,6 +472,14 @@ object Bio {
     val noiseTail = element_at(col("tags"), -1) === "O" &&
       lastTok.isin(CountryTokens: _*)
     val adminPos = least(pos("IL"), pos("ILCE"))
+    // segment-shuffle detection, the reference's observational rule
+    // (generate_A2E_BIO_synth.py:187-204): CADDE/SOKAK before MAHALLE, or
+    // SOKAK before CADDE when both exist
+    val shuffled =
+      (has("CADDE") && has("MAHALLE") && pos("CADDE") < pos("MAHALLE")) ||
+      (has("SOKAK") && has("MAHALLE") && pos("SOKAK") < pos("MAHALLE")) ||
+      (has("CADDE") && has("SOKAK") && pos("SOKAK") < pos("CADDE"))
+    val nbhdRepeated = size(filter(col("tags"), y => y === "B-MAHALLE")) >= 2
 
     val typeCounts = EntityTypes.map(t => cnt(has(t)).as("n_" + t.toLowerCase))
     df.select(Seq(
@@ -403,11 +500,26 @@ object Bio {
       cnt(has("IL") && has("ILCE") && pos("ILCE") < pos("IL")).as("district_first"),
       cnt(has("IL") && has("ILCE") && pos("IL") < pos("ILCE")).as("province_first"),
       cnt(dupAdmin).as("dup_admin"),
+      cnt(shuffled).as("segments_shuffled"),
+      cnt(nbhdRepeated).as("nbhd_repeated"),
+      cnt(has("POSTA_KODU")).as("has_postcode"),
       cnt(has("POSTA_KODU") && (has("IL") || has("ILCE")) &&
         pos("POSTA_KODU") < adminPos).as("postcode_before_admin"),
       cnt(has("POSTA_KODU") && (has("IL") || has("ILCE")) &&
         pos("POSTA_KODU") > adminPos).as("postcode_after_admin"),
       cnt(noiseTail).as("noise_tail"),
       round(avg(size(col("tokens"))), 4).as("avg_tokens")): _*)
+  }
+
+  /** S8 top-10 avenue tally (ref generate_A2E_BIO_synth.py:270-274): the
+    * token at the first B-CADDE position, counted, descending. */
+  def topAvenues(ds: Dataset[BioSample], k: Int = 10): DataFrame = {
+    ds.toDF()
+      .select(col("tokens"),
+        array_position(col("tags"), "B-CADDE").cast("int").as("p"))
+      .filter(col("p") > 0) // array_position is 1-based; 0 = absent
+      .select(element_at(col("tokens"), col("p")).as("avenue"))
+      .groupBy("avenue").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("avenue")).limit(k)
   }
 }

@@ -79,8 +79,7 @@ class NerBioSpec extends AnyFunSuite {
           assert(i > 0 && (s.tags(i - 1).endsWith(t.drop(2)) && s.tags(i - 1) != "O"),
             s"dangling $t in ${s.tags.mkString(",")}")
       }
-      if (s.group == "A2E")
-        assert(s.tags.contains("B-MAHALLE") && s.tags.contains("B-POSTA_KODU"))
+      if (s.group == "A2E") assert(s.tags.contains("B-MAHALLE"))
     }
     // determinism
     val again = Bio.synthesize(spark, 200).collect()
@@ -98,8 +97,11 @@ class NerBioSpec extends AnyFunSuite {
     val st = Bio.stats(ds).collect()(0)
     assert(st.getAs[Long]("n") == 200)
     assert(st.getAs[Long]("n_a2e") + st.getAs[Long]("n_f2j") == 200)
-    // every A2E sample carries a postcode; F2J only sometimes
-    assert(st.getAs[Long]("n_posta_kodu") >= st.getAs[Long]("n_a2e"))
+    // postcode is OPTIONAL at the reference's p=.10 before-admin rate
+    // (round-2 always emitted one — groupA2E_config.py:52)
+    val pc = st.getAs[Long]("has_postcode")
+    assert(pc > 0 && pc < st.getAs[Long]("n_a2e"),
+      s"postcode rate off: $pc of ${st.getAs[Long]("n_a2e")} A2E samples")
     ds.unpersist()
   }
 
@@ -152,6 +154,30 @@ class NerBioSpec extends AnyFunSuite {
     assert(g("noise_tail") >= noisy.length) // country tail may also come from ref-style O tails
     Seq("n_site_adi", "n_bina_adi", "n_bulvar", "n_tarif", "n_kat", "n_daire_no")
       .foreach(c => assert(g(c) > 0, s"$c is zero"))
+
+    // round-3 A2E fidelity distributions (groupA2E_config.py), ±tolerance on
+    // 2640 A2E samples. Shuffle is the OBSERVATIONAL rule (a shuffle can land
+    // on the unshuffled order), so its measured rate sits under p=.20.
+    val nA2E = g("n_a2e").toDouble
+    def rate(c: String) = g(c) / nA2E
+    assert(rate("segments_shuffled") > 0.05 && rate("segments_shuffled") < 0.25,
+      s"shuffle rate ${rate("segments_shuffled")}")
+    assert(rate("nbhd_repeated") > 0.08 && rate("nbhd_repeated") < 0.35,
+      s"repeat-nbhd rate ${rate("nbhd_repeated")}") // .15 repeat + prepend-with-nbhd
+    assert(rate("has_postcode") > 0.05 && rate("has_postcode") < 0.16,
+      s"postcode rate ${rate("has_postcode")}") // p=.10, A2E only
+    // avenue/street mix: both .45 / only-avenue .20 / only-street .35
+    val withStreets = (g("cad_and_sk") + g("cad_only") + g("sk_only")).toDouble
+    assert(math.abs(g("cad_and_sk") / withStreets - 0.45) < 0.08)
+    assert(math.abs(g("cad_only") / withStreets - 0.20) < 0.08)
+    // top-10 avenue tally (S8): at most 10 rows, descending, real names
+    val top = Bio.topAvenues(ds).collect()
+    assert(top.length <= 10 && top.nonEmpty)
+    assert(top.map(_.getLong(1)).toSeq == top.map(_.getLong(1)).toSeq.sortBy(-_))
+    val firstToks = Bio.AvenueNames.map(_.split(" ").head).toSet ++
+      Bio.AvenueNames.map(n => n.split(" ").head.toUpperCase(
+        java.util.Locale.forLanguageTag("tr"))).toSet
+    top.foreach(r => assert(firstToks.contains(r.getString(0)), r.toString))
     ds.unpersist()
   }
 
