@@ -32,4 +32,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
+) ++ sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq ++
+  // ad-hoc experiment hook, e.g. SPARK_GRAFT_EXTRA_OPTS="-Dspark.sql.shuffle.partitions=128"
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -1,6 +1,7 @@
 package graft
 
-/** Scratch diagnostic main: per-type gold-eval PRF to stdout (dev aid). */
+/** Diagnostic main: per-type gold-corpus PRF of the rule extractor
+  * (the q_gold_eval surface as a CLI — dev aid for extraction tuning). */
 object GoldDump {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-golddump", "8")

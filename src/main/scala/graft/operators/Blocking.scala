@@ -76,12 +76,14 @@ object Blocking {
     val cols = Seq(col(keyCol).as("bk"), col(idCol).as("id")) ++ payloadCols.map(col)
     val rows = df.select(cols: _*).filter(col("bk").isNotNull && col("bk") =!= "")
 
-    // Per-block salt-bucket count s = ceil(count / maxBlock); the counts table
-    // is one row per distinct block — tiny relative to the data — and the join
-    // back is key-colocated with the pair join that follows.
-    val counts = rows.groupBy("bk")
-      .agg(ceil(count(lit(1)).cast("double") / maxBlock).cast("int").as("s"))
-    val salted = rows.join(counts, "bk")
+    // Per-block salt-bucket count s = ceil(count / maxBlock), as a WINDOW over
+    // bk: one exchange of the rows (plus a local sort for WindowExec) instead
+    // of the round-2 groupBy + join-back, which shuffled the rows relation
+    // twice on the same key — measured as the bulk of the 8→32 plan overhead.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+    val salted = rows
+      .withColumn("s",
+        ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("id")), col("s")).cast("int"))
 
     // Triangle fan-out: left emits (i=salt, j) for j in [salt, s); right emits
