@@ -237,6 +237,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w == 0 && h == 0 && rate == 16000 && frames == 1 && feat.length == 8)
   }
 
+  test("gif codec: animated GIF89a round-trips through the independent LZW decoder") {
+    import graft.functions.GifCodec
+    def pix(f: Int, x: Int, y: Int): Int = (f * 5 + x * 3 + y * 7) & 0x0f
+    val gif = GifCodec.encodeGif(13, 9, 4, 10, pix)
+    // spec structure: header, trailer, logical screen dims readable by the
+    // generic image-header parser
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    assert((gif.last & 0xff) == 0x3b)
+    assert(graft.functions.ImageCodec.decodeDims(gif).contains(("gif", 13, 9)))
+    assert(GifCodec.decodeMeta(gif).contains((13, 9, 4)))
+    // every frame offset points at a real image descriptor
+    GifCodec.frameOffsets(gif).foreach(o => assert((gif(o) & 0xff) == 0x2c))
+    // pixel-exact LZW round-trip for every frame
+    (0 until 4).foreach { f =>
+      val got = GifCodec.decodeFrameIndices(gif, f).get
+      val want = Array.tabulate(13 * 9)(i => pix(f, i % 13, i / 13).toByte)
+      assert(got.sameElements(want), s"frame $f corrupt")
+    }
+    // high-entropy large frame: forces code-width growth to 12 bits AND a
+    // mid-stream dictionary clear/reset — the hard paths of the bitstream
+    def noisy(f: Int, x: Int, y: Int): Int = ((x * 2654435761L + y * 40503L + f) >>> 7).toInt & 0x0f
+    val big = GifCodec.encodeGif(128, 96, 2, 5, noisy)
+    (0 until 2).foreach { f =>
+      val got = GifCodec.decodeFrameIndices(big, f).get
+      val want = Array.tabulate(128 * 96)(i => noisy(f, i % 128, i / 128).toByte)
+      assert(got.sameElements(want), s"big frame $f corrupt")
+    }
+    // single-color frame (degenerate hit-streak path)
+    val flat = GifCodec.encodeGif(6, 6, 1, 0, (_, _, _) => 7)
+    assert(GifCodec.decodeFrameIndices(flat, 0).get.forall(_ == 7.toByte))
+  }
+
   test("multimodal: synthesis, batched decode, frame sampling") {
     val assets = Multimodal.synthesize(spark, 200, seed = 42L).persist()
     assert(assets.count() == 200)
@@ -248,9 +280,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("a.width") =!= col("f.width") ||
       col("a.height") =!= col("f.height")).count() == 0)
     assert(feats.filter(size(col("feature")) =!= 8).count() == 0)
+    // video assets are REAL animated GIFs: decode reports the true frame
+    // count (≥2) parsed from the block structure
+    assert(feats.filter(col("kind") === "video").count() > 0)
+    assert(feats.filter(col("kind") === "video" && col("frames") < 2).count() == 0)
     val frames = Multimodal.sampleFrames(assets)
     assert(frames.count() > 0)
     assert(frames.groupBy("media_id").count().filter(col("count") < 1).count() == 0)
+    // sampled frame boundaries are real: each byte_offset points at the 0x2C
+    // image-descriptor byte of its asset
+    val offRows = frames.join(assets.toDF().select(col("media_id"), col("media")), "media_id")
+      .select("media", "byte_offset").collect()
+    offRows.foreach { r =>
+      val m = r.getAs[Array[Byte]](0)
+      assert((m(r.getAs[Int](1)) & 0xff) == 0x2c)
+    }
     feats.unpersist(); assets.unpersist()
   }
 }
