@@ -159,6 +159,24 @@ object GoldEval {
       }.distinct
   }
 
+  /** Harvest TARIF anchor vocabulary from gold annotations: the canonical
+    * HEAD token (last token) of TARIF spans — Turkish landmark phrases end in
+    * the possessive-suffixed head noun ("... ogrenci yurdu", "... devlet
+    * hastanesi"). Kept when alphabetic, ≥3 chars, seen ≥`minFreq` times;
+    * merged with the builtin keyword family. Same held-out discipline as
+    * [[mineRows]]. */
+  def mineTarifAnchors(paths: Seq[String], minFreq: Int = 1): Set[String] = {
+    val heads = paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }
+      .flatMap { case (_, toks, tags) =>
+        tagsToSpans(tags).filter(_._1 == "TARIF").flatMap { case (_, s, e) =>
+          toks.slice(s, e).map(canonToken).lastOption
+        }
+      }
+    heads.groupBy(identity).collect {
+      case (h, g) if g.size >= minFreq && h.length >= 3 && h.forall(_.isLetter) => h
+    }.toSet ++ NerOutputs.TarifKw
+  }
+
   /** The evaluation: rule-based spans vs gold spans, per-type + micro PRF.
     * Gold files are driver-read (3 tiny fixtures); sentences fan out as a
     * Dataset so the extraction kernel runs distributed like production.
@@ -185,16 +203,20 @@ object GoldEval {
     }.toDF("sent_id", "entity_type", "start", "end")
 
     val preds = byCorpus.map { case (path, sents) =>
+      val others = paths.filterNot(_ == path)
       val rows =
         if (!mineCross) Gazetteer.rows
-        else Gazetteer.rows ++ mineRows(paths.filterNot(_ == path))
+        else Gazetteer.rows ++ mineRows(others)
+      val anchors =
+        if (!mineCross) NerOutputs.TarifKw else mineTarifAnchors(others)
       val idx = StaticParser.broadcastIndex(spark, rows)
       spark.createDataset(sents.map { case (sid, toks, _) => (sid, toks) })
         .mapPartitions { it =>
           val ix = idx.value
           it.flatMap { case (sid, toks) =>
             val canon = toks.map(canonToken)
-            NerOutputs.spans(canon, ix).map { case (t, s, e) => (sid, t, s, e) }
+            NerOutputs.spans(canon, ix, tarifAnchors = anchors)
+              .map { case (t, s, e) => (sid, t, s, e) }
           }
         }.toDF("sent_id", "entity_type", "start", "end")
     }.reduce(_ unionByName _)
@@ -210,16 +232,20 @@ object GoldEval {
     import spark.implicits._
     val tokens = paths.zipWithIndex.map { case (path, i) =>
       val sents = readGold(path, i)
+      val others = paths.filterNot(_ == path)
       val rows =
         if (!mineCross) Gazetteer.rows
-        else Gazetteer.rows ++ mineRows(paths.filterNot(_ == path))
+        else Gazetteer.rows ++ mineRows(others)
+      val anchors =
+        if (!mineCross) NerOutputs.TarifKw else mineTarifAnchors(others)
       val idx = StaticParser.broadcastIndex(spark, rows)
       spark.createDataset(sents.map { case (sid, toks, tags) => (sid, toks, tags) })
         .mapPartitions { it =>
           val ix = idx.value
           it.flatMap { case (sid, toks, tags) =>
             val predTypes = Array.fill(toks.length)("O")
-            NerOutputs.spans(toks.map(canonToken), ix).foreach { case (t, s, e) =>
+            NerOutputs.spans(toks.map(canonToken), ix, tarifAnchors = anchors)
+              .foreach { case (t, s, e) =>
               var k = s
               while (k < e && k < predTypes.length) {
                 if (predTypes(k) == "O") predTypes(k) = t

@@ -71,7 +71,8 @@ object NerOutputs {
     *     no keyword-anchored MAHALLE exists (bare names like "mavisehir").
     */
   def spans(tokens: Array[String], idx: Gazetteer.Index,
-            nameWalk: Int = 2): Seq[(String, Int, Int)] = {
+            nameWalk: Int = 2,
+            tarifAnchors: Set[String] = TarifKw): Seq[(String, Int, Int)] = {
     val T = tokens.length
     def digits(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
     def nameLike(s: String): Boolean =
@@ -100,7 +101,7 @@ object NerOutputs {
     // left boundary of a keyword-anchored name: claim the adjacent token when
     // it is a name or (for street-family anchors) a number ("1004 sokak");
     // extend over further NAME tokens while they are not claimed by anything
-    def nameStart(i: Int, digitFirst: Boolean): Int = {
+    def nameStart(i: Int, digitFirst: Boolean, cap: Int): Int = {
       if (i == 0) return i
       val adj = tokens(i - 1)
       val adjOk = !covered(i - 1) &&
@@ -108,7 +109,7 @@ object NerOutputs {
       if (!adjOk) return i
       var j = i - 1
       var steps = 1
-      while (steps < nameWalk && j > 0 && nameLike(tokens(j - 1)) &&
+      while (steps < cap && j > 0 && nameLike(tokens(j - 1)) &&
           !covered(j - 1) && !adminCovered(j - 1)) {
         j -= 1; steps += 1
       }
@@ -123,23 +124,23 @@ object NerOutputs {
       // neighbourhood: name + canonical keyword — the dominant gold surface
       // form ("kazimdirik mah"); bare names are the gazetteer probe's job
       if (t == "mah") {
-        val j = nameStart(i, digitFirst = true)
+        val j = nameStart(i, digitFirst = true, nameWalk)
         if (j < i) out += (("MAHALLE", j, i + 1))
       }
       // street/avenue: name + canonical indicator (the keyword is part of
       // the span in the reference's annotation — "1004 sokak" is B-/I-SOKAK)
       if (t == "sk" || t == "cad") {
-        val j = nameStart(i, digitFirst = true)
+        val j = nameStart(i, digitFirst = true, nameWalk)
         if (j < i) out += ((if (t == "sk") "SOKAK" else "CADDE", j, i + 1))
       }
       // boulevard: name + keyword (static-normalized surface forms)
       if (NerOutputs.BulvarKw(t)) {
-        val j = nameStart(i, digitFirst = false)
+        val j = nameStart(i, digitFirst = false, nameWalk)
         if (j < i) out += (("BULVAR", j, i + 1))
       }
       // site/residence: name + keyword (F2J SITE_ADI family)
       if (NerOutputs.SiteKw(t)) {
-        val j = nameStart(i, digitFirst = false)
+        val j = nameStart(i, digitFirst = false, nameWalk)
         if (j < i) out += (("SITE_ADI", j, i + 1))
       }
       // building name: blok/apartman keywords; "blok : A" keyword-first form
@@ -150,24 +151,42 @@ object NerOutputs {
           val end = if (i + 3 < T && digits(tokens(i + 3))) i + 4 else i + 3
           out += (("BINA_ADI", i, end))
         } else {
-          val j = nameStart(i, digitFirst = false)
+          val j = nameStart(i, digitFirst = false, nameWalk)
           if (j < i) out += (("BINA_ADI", j, i + 1))
         }
       }
-      // landmark/directions anchor (TARIF): name + anchor keyword
-      if (NerOutputs.TarifKw(t)) {
-        val j = nameStart(i, digitFirst = false)
-        if (j < i) out += (("TARIF", j, i + 1))
+      // parenthetical free-text note: "( ... )" is a TARIF span in 16 of the
+      // gold corpora's 17 parentheticals — tag the whole group
+      if (t == "(") {
+        val close = tokens.indexOf(")", i + 1)
+        if (close > i && close - i <= 12 &&
+            (i + 1 until close).exists(k => tokens(k).exists(_.isLetter)) &&
+            !(i to close).exists(covered))
+          out += (("TARIF", i, close + 1))
+      }
+      // landmark/directions anchor (TARIF): harvested head nouns + the
+      // builtin keyword family; landmark phrases run long ("cevat aksit
+      // erkek ogrenci yurdu"), so the walk cap is 5, not nameWalk. Adjacent
+      // anchors extend the same span ("olgun market karsisi" is ONE TARIF).
+      if (tarifAnchors(t)) {
+        val adjacent = out.indexWhere { case (tp, _, e) => tp == "TARIF" && e == i }
+        if (adjacent >= 0) {
+          val (tp, s0, _) = out(adjacent)
+          out(adjacent) = (tp, s0, i + 1)
+        } else {
+          val j = nameStart(i, digitFirst = false, cap = 5)
+          if (j < i) out += (("TARIF", j, i + 1))
+        }
       }
       // floor: "kat : 3" / "kat 3"
-      if (t == "kat" && i + 1 < T) {
+      if (t == "kat" && i + 1 < T && !covered(i)) {
         val j = if (tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
         if (j < T && digits(tokens(j)) && tokens(j).length <= 3)
           out += (("KAT", i, j + 1))
       }
       // flat: "daire [no] [:] 5" / "d : 5"
       if ((t == "daire" || (t == "d" && i + 1 < T && tokens(i + 1) == ":"))
-          && i + 1 < T) {
+          && i + 1 < T && !covered(i)) {
         var j = i + 1
         if (t == "daire" && j < T && tokens(j) == "no") j += 1
         if (j < T && tokens(j) == ":") j += 1
