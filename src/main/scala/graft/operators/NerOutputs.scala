@@ -89,9 +89,21 @@ object NerOutputs {
     val dist = StaticParser.bestMatch(tokens, idx.distIndex, allowedD)
       .orElse(if (allowedD.isDefined)
         StaticParser.bestMatch(tokens, idx.distIndex, None) else None)
+    // gold tags EVERY mention (duplicated admin blocks are a standard
+    // surface form); bestMatch picks the name, then every window where that
+    // name recurs becomes a span
+    def occurrences(name: String): Seq[(Int, Int)] = {
+      val nt = name.split(" ")
+      val L = nt.length
+      (0 to T - L).collect {
+        case i if (0 until L).forall(k => tokens(i + k) == nt(k)) => (i, i + L)
+      }
+    }
     val admin = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
-    prov.foreach { case (_, s, e) => admin += (("IL", s, e)) }
-    dist.foreach { case (_, s, e) => admin += (("ILCE", s, e)) }
+    prov.foreach { case (n, _, _) =>
+      occurrences(n).foreach { case (s, e) => admin += (("IL", s, e)) } }
+    dist.foreach { case (n, _, _) =>
+      occurrences(n).foreach { case (s, e) => admin += (("ILCE", s, e)) } }
     def adminCovered(k: Int): Boolean =
       admin.exists { case (_, s, e) => s <= k && k < e }
 
@@ -119,8 +131,11 @@ object NerOutputs {
     var i = 0
     while (i < T) {
       val t = tokens(i)
-      // postcode: standalone 5-digit token
-      if (t.length == 5 && digits(t)) out += (("POSTA_KODU", i, i + 1))
+      // postcode: standalone 5-digit token — but NOT a numeric street name
+      // ("10158 sk" is SOKAK; izmir street names are 5-digit)
+      if (t.length == 5 && digits(t) &&
+          !(i + 1 < T && (tokens(i + 1) == "sk" || tokens(i + 1) == "cad")))
+        out += (("POSTA_KODU", i, i + 1))
       // neighbourhood: name + canonical keyword — the dominant gold surface
       // form ("kazimdirik mah"); bare names are the gazetteer probe's job
       if (t == "mah") {
@@ -229,10 +244,12 @@ object NerOutputs {
       StaticParser.bestMatch(tokens, idx.nbhdIndex, allowedN)
         .orElse(if (allowedN.isDefined)
           StaticParser.bestMatch(tokens, idx.nbhdIndex, None) else None)
-        .foreach { case (_, s, e) =>
-          val e2 = if (e < T && tokens(e) == "mah") e + 1 else e
-          if (!out.exists { case (_, s2, e2b) => s < e2b && s2 < e2 })
-            out += (("MAHALLE", s, e2))
+        .foreach { case (n, _, _) =>
+          occurrences(n).foreach { case (s, e) =>
+            val e2 = if (e < T && tokens(e) == "mah") e + 1 else e
+            if (!out.exists { case (_, s2, e2b) => s < e2b && s2 < e2 })
+              out += (("MAHALLE", s, e2))
+          }
         }
     }
     out.toSeq.sortBy(_._2)
