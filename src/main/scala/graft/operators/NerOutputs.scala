@@ -193,8 +193,14 @@ object NerOutputs {
           if (j < i) out += (("TARIF", j, i + 1))
         }
       }
-      // floor: "kat : 3" / "kat 3"
-      if (t == "kat" && i + 1 < T && !covered(i)) {
+      // floor: "3 kat" / "zemin kat" (number-first, the reference's floor
+      // template 0) and "kat : 3" / "kat 3" / "k : 3" (keyword-first)
+      if (t == "kat" && i > 0 && !covered(i) && !covered(i - 1) &&
+          ((digits(tokens(i - 1)) && tokens(i - 1).length <= 2) ||
+            tokens(i - 1) == "zemin"))
+        out += (("KAT", i - 1, i + 1))
+      else if ((t == "kat" || (t == "k" && i + 1 < T && tokens(i + 1) == ":"))
+          && i + 1 < T && !covered(i)) {
         val j = if (tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
         if (j < T && digits(tokens(j)) && tokens(j).length <= 3)
           out += (("KAT", i, j + 1))
