@@ -147,6 +147,22 @@ class LinkageSpec extends AnyFunSuite {
     sc.unpersist()
   }
 
+  test("block-local union-find CC equals the star iteration on the match graph") {
+    // the match graph is block-partitioned BY CONSTRUCTION (each record has
+    // one block key; pairs form only inside a block) — under that property
+    // runGrouped is one shuffle instead of ~4 per star round
+    val sc = Linkage.scored(Linkage.prepare(pages)).filter(col("is_match"))
+      .select(col("block_key"), col("url_a").as("src"), col("url_b").as("dst"))
+      .persist()
+    val star = ConnectedComponents
+      .runOnStrings(sc.select("src", "dst")).as[(String, String)].collect().toMap
+    val grouped = ConnectedComponents
+      .runGrouped(sc, "block_key").as[(String, String)].collect().toMap
+    assert(grouped == star,
+      s"grouped CC diverged: ${grouped.toSet.diff(star.toSet).take(3)} ...")
+    sc.unpersist()
+  }
+
   test("entity ids are urls (no hash-derived ids reach clustering)") {
     val ents = Linkage.entities(pages, StaticParser.broadcastIndex(spark))
     assert(ents.schema("entity_id").dataType.typeName == "string")
