@@ -166,7 +166,14 @@ object NerOutputs {
           val end = if (i + 3 < T && digits(tokens(i + 3))) i + 4 else i + 3
           out += (("BINA_ADI", i, end))
         } else {
-          val j = nameStart(i, digitFirst = false, nameWalk)
+          // blok labels are letters OR digits OR single chars ("27 blok",
+          // "d blok" — "d" is the daire stop-keyword but a valid label here)
+          val j0 = nameStart(i, digitFirst = true, nameWalk)
+          val j =
+            if (j0 < i) j0
+            else if (i > 0 && !covered(i - 1) && tokens(i - 1).length == 1 &&
+              tokens(i - 1).charAt(0).isLetterOrDigit) i - 1
+            else i
           if (j < i) out += (("BINA_ADI", j, i + 1))
         }
       }
