@@ -269,6 +269,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(GifCodec.decodeFrameIndices(flat, 0).get.forall(_ == 7.toByte))
   }
 
+  test("gif codec: seeded random sweep round-trips (dims, frame counts, patterns)") {
+    import graft.functions.GifCodec
+    val rnd = new scala.util.Random(4242)
+    (1 to 25).foreach { case_ =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val nf = 1 + rnd.nextInt(6)
+      val mode = rnd.nextInt(3)
+      val base = rnd.nextInt(1 << 20)
+      def pix(f: Int, x: Int, y: Int): Int = mode match {
+        case 0 => (base + f + x + y) & 0x0f                     // smooth ramp
+        case 1 => ((x * 2654435761L + y * 40503L + f * 97 + base) >>> 9).toInt & 0x0f // noise
+        case _ => if (((x + y + f) & 1) == 0) base & 0x0f else (base >> 4) & 0x0f // checker
+      }
+      val gif = GifCodec.encodeGif(w, h, nf, 4, pix)
+      assert(GifCodec.decodeMeta(gif).contains((w, h, nf)), s"case $case_ meta")
+      (0 until nf).foreach { f =>
+        val got = GifCodec.decodeFrameIndices(gif, f).get
+        val want = Array.tabulate(w * h)(i => pix(f, i % w, i / w).toByte)
+        assert(got.sameElements(want), s"case $case_ ($w x $h mode $mode) frame $f")
+      }
+    }
+  }
+
   test("multimodal: synthesis, batched decode, frame sampling") {
     val assets = Multimodal.synthesize(spark, 200, seed = 42L).persist()
     assert(assets.count() == 200)

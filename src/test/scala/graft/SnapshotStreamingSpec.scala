@@ -118,6 +118,31 @@ class SnapshotStreamingSpec extends AnyFunSuite {
       Seq("bucket", "block_key", "n_pages"))
   }
 
+  test("RunLinkage entry point: submit, resume, and match the library path") {
+    val inDir = tmpDir("runlink-in")
+    val root = tmpDir("runlink-snap")
+    Pages.synthesize(spark, 600).toDF().write.mode("overwrite").parquet(inDir)
+    val n1 = graft.RunLinkage.runFromArgs(spark, Array(inDir, root))
+    assert(n1 == 600)
+    // re-submit with identical args: every stage resumes from its committed
+    // snapshot (4 stages committed once — no second snapshot appears)
+    val snapsBefore = Seq("prepared", "scored", "components", "entities")
+      .map(st => graft.plans.Snapshots.committedSnaps(root, st).size)
+    val n2 = graft.RunLinkage.runFromArgs(spark, Array(inDir, root))
+    val snapsAfter = Seq("prepared", "scored", "components", "entities")
+      .map(st => graft.plans.Snapshots.committedSnaps(root, st).size)
+    assert(n2 == 600 && snapsBefore == Seq(1, 1, 1, 1) && snapsAfter == snapsBefore)
+    // committed entities equal the direct library path
+    val committed = spark.read.parquet(
+      graft.plans.Snapshots.dataPath(root, "entities", 0))
+      .select("url", "entity_id")
+    val direct = Linkage.entities(
+      Pages.synthesize(spark, 600).toDF(),
+      graft.operators.StaticParser.broadcastIndex(spark))
+      .select("url", "entity_id")
+    assert(committed.except(direct).count() == 0 && direct.except(committed).count() == 0)
+  }
+
   test("incremental linkage step: second batch re-scores ONLY its blocks") {
     import graft.streaming.IncrementalLinkage
     val all = Pages.synthesize(spark, 900).toDF().persist()
