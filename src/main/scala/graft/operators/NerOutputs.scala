@@ -71,7 +71,7 @@ object NerOutputs {
     *     no keyword-anchored MAHALLE exists (bare names like "mavisehir").
     */
   def spans(tokens: Array[String], idx: Gazetteer.Index,
-            nameWalk: Int = 2,
+            nameWalk: Int = 4,
             tarifAnchors: Set[String] = TarifKw): Seq[(String, Int, Int)] = {
     val T = tokens.length
     def digits(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)

@@ -237,11 +237,11 @@ class NerBioSpec extends AnyFunSuite {
     prf.orderBy("entity_type").collect().foreach(r => info(r.toString))
     assert(micro._4 >= 1000, s"only ${micro._4} gold entities loaded")
     // round-3: leave-one-corpus-out name mining + keyword-first evidence
-    // order + TARIF head-noun anchors + all-occurrence admin spans measured
-    // 0.8102 micro F1 (P .889 / R .745) — above the reference's fine-tuned
-    // BERT (0.7492 on a 20-sample slice). Deterministic pipeline; the gate
-    // sits just under the measured value.
-    assert(micro._3 >= 0.80, f"gold micro F1 ${micro._3}%.4f regressed")
+    // order (nameWalk=4) + TARIF head-noun anchors + all-occurrence admin
+    // spans measured 0.8250 micro F1 (P .901 / R .761) — above the
+    // reference's fine-tuned BERT (0.7492 on a 20-sample slice).
+    // Deterministic pipeline; the gate sits just under the measured value.
+    assert(micro._3 >= 0.82, f"gold micro F1 ${micro._3}%.4f regressed")
     prf.unpersist()
 
     // TYPE-only token confusion (the notebook cell-28 view): diagonal must
