@@ -331,6 +331,9 @@ object Queries {
     "q_gold_confusion" -> ((s, dir) =>
       // TYPE-only token confusion matrix on the same corpora (notebook cell 28)
       GoldEval.confusion(s)),
+    "q_gold_by_corpus" -> ((s, dir) =>
+      // per-HELD-OUT-corpus micro PRF under the leave-one-out protocol
+      GoldEval.evaluateByCorpus(s)),
     "q_minhash_clusters" -> ((s, dir) => {
       implicit val sp = s
       Dedup.minhashClusters(t(dir, "documents"), "doc_id", "text", threshold = 0.5)

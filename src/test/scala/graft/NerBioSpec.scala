@@ -242,6 +242,15 @@ class NerBioSpec extends AnyFunSuite {
     // reference's fine-tuned BERT (0.7492 on a 20-sample slice).
     // Deterministic pipeline; the gate sits just under the measured value.
     assert(micro._3 >= 0.82, f"gold micro F1 ${micro._3}%.4f regressed")
+    // per-HELD-OUT-corpus: the two substantive corpora each clear the bar on
+    // their own (corpus 2, baris_250, has only 2 usable sentences — reported
+    // but not gated)
+    val byCorpus = GoldEval.evaluateByCorpus(spark)
+      .select("corpus", "n_gold", "f1").as[(Int, Long, Double)].collect()
+    byCorpus.foreach(r => info(s"held-out corpus ${r._1}: n_gold=${r._2} f1=${r._3}"))
+    byCorpus.filter(_._2 >= 100).foreach { case (c, _, f1) =>
+      assert(f1 >= 0.75, s"held-out corpus $c micro F1 $f1")
+    }
     prf.unpersist()
 
     // TYPE-only token confusion (the notebook cell-28 view): diagonal must
