@@ -53,12 +53,19 @@ object Blocking {
     when(pos > 1, element_at(toks, (pos - 1).cast("int"))).otherwise(lit(""))
   }
 
-  /** Composite block key: postcode prefix (3 digits) + Soundex of the street
-    * token, falling back to the neighbourhood token when no street exists.
-    * Both building blocks are Spark built-ins (codegen'd). */
-  def blockKey(normCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val phon = when(streetToken(normCol) =!= "", soundex(streetToken(normCol)))
-      .otherwise(soundex(nbhdToken(normCol)))
+  /** Composite block key: postcode prefix (3 digits) + a phonetic key of the
+    * street token, falling back to the neighbourhood token when no street
+    * exists. `phonetic` selects the key family the north star names:
+    * "soundex" (Spark built-in) or "metaphone" (the native codegen'd
+    * [[graft.functions.MetaphoneExpr]]); both are codegen'd column chains. */
+  def blockKey(normCol: org.apache.spark.sql.Column,
+               phonetic: String = "soundex"): org.apache.spark.sql.Column = {
+    def phonOf(c: org.apache.spark.sql.Column) = phonetic match {
+      case "metaphone" => graft.functions.MetaphoneUtil.metaphoneCol(c)
+      case _           => soundex(c)
+    }
+    val phon = when(streetToken(normCol) =!= "", phonOf(streetToken(normCol)))
+      .otherwise(phonOf(nbhdToken(normCol)))
     concat_ws("_", substring(postcode(normCol), 1, 3), phon)
   }
 

@@ -23,7 +23,8 @@ object Linkage {
   case class Config(
       threshold: Double = 0.85,
       maxBlock: Int = 1000,
-      extractPattern: String = "(?i)adres\\s*:\\s*(.*?)(?=\\s+tel\\s*:|$)")
+      extractPattern: String = "(?i)adres\\s*:\\s*(.*?)(?=\\s+tel\\s*:|$)",
+      phonetic: String = "soundex") // or "metaphone" (north star names both)
 
   /** Deterministic extraction of the address-bearing span from page text.
     * Per-row invariant (BASELINE.json input_hint): byte-identical extracted
@@ -44,7 +45,7 @@ object Linkage {
   def prepare(pages: DataFrame, cfg: Config = Config()): DataFrame =
     extract(pages, cfg)
       .withColumn("norm", Blocking.blockNorm(col("extracted")))
-      .withColumn("block_key", Blocking.blockKey(col("norm")))
+      .withColumn("block_key", Blocking.blockKey(col("norm"), cfg.phonetic))
       .withColumn("canon", array_join(array_sort(
         filter(split(col("norm"), " "), t => t.rlike("[\\p{L}\\p{N}]"))), " "))
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Blocking, ConnectedComponents, Linkage, Scoring, StaticParser}
+import graft.operators.{Blocking, ConnectedComponents, Eval, Linkage, Scoring, StaticParser}
 import graft.sources.Pages
 
 /** The north-rule gates: pairwise F1 ≥ 0.99 on labeled pairs at shared
@@ -145,6 +145,30 @@ class LinkageSpec extends AnyFunSuite {
     assert(viaDict == direct,
       s"diverged on ${viaDict.toSet.diff(direct.toSet).take(3)} ...")
     sc.unpersist()
+  }
+
+  test("metaphone blocking: pipeline holds the F1 gate on the alternate phonetic") {
+    // the north star names BOTH phonetic families ("via Soundex/Metaphone");
+    // the pipeline must hold its quality gate under either
+    val cfg = Linkage.Config(phonetic = "metaphone")
+    val small = Pages.synthesize(spark, 3000).toDF()
+    val prep = Linkage.prepare(small, cfg).persist()
+    // same-entity pages share a metaphone block key
+    val keysPerEntity = prep
+      .withColumn("gold", Pages.goldEntityId(col("url")))
+      .groupBy("gold").agg(countDistinct("block_key").as("nk"), count(lit(1)).as("n"))
+    val split = keysPerEntity.filter(col("nk") > 1).count()
+    val total = keysPerEntity.count()
+    assert(split <= total / 20, s"$split of $total entities split across metaphone keys")
+    // pairwise F1 at shared keys stays over the north-rule bar
+    val sc = Linkage.scored(prep, cfg)
+    val gold = sc.select(col("url_a"), col("url_b"),
+      (Pages.goldEntityId(col("url_a")) === Pages.goldEntityId(col("url_b"))).as("is_pos"))
+    val m = Eval.pairwiseMetrics(sc.select("url_a", "url_b", "is_match"), gold)
+      .select("f1").as[Double].head()
+    info(f"metaphone-blocked pairwise F1 = $m%.4f")
+    assert(m >= 0.99, f"metaphone pipeline F1 $m%.4f under the 0.99 gate")
+    prep.unpersist()
   }
 
   test("block-local union-find CC equals the star iteration on the match graph") {

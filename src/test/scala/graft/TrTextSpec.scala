@@ -200,4 +200,39 @@ class TrTextSpec extends AnyFunSuite {
       assert(TrText.normalizeFullS(in) == out, s"drift on: $in")
     }
   }
+
+  test("metaphone: published vectors, expression == kernel, codegen plan") {
+    import graft.functions.MetaphoneUtil
+    // the commonly published classic-Metaphone vector set (Philips 1990 /
+    // Apache Commons Codec conventions, max length 4)
+    val vectors = Seq(
+      "howl" -> "HL", "testing" -> "TSTN", "the" -> "0", "quick" -> "KK",
+      "brown" -> "BRN", "fox" -> "FKS", "jumped" -> "JMPT", "over" -> "OFR",
+      "lazy" -> "LS", "dogs" -> "TKS", "knight" -> "NT", "wright" -> "RT",
+      "school" -> "SKL", "philips" -> "FLPS", "" -> "", "a" -> "A")
+    vectors.foreach { case (in, want) =>
+      assert(MetaphoneUtil.metaphone(in) == want,
+        s"metaphone($in) = ${MetaphoneUtil.metaphone(in)}, want $want")
+    }
+    // near-miss street names collide (the blocking property soundex gives);
+    // distinct names separate
+    assert(MetaphoneUtil.metaphone("istasyon") == MetaphoneUtil.metaphone("istasiyon"))
+    assert(MetaphoneUtil.metaphone("gazi") != MetaphoneUtil.metaphone("fatih"))
+
+    // expression path == kernel path, and the plan stays codegen'd
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = vectors.map(_._1).filter(_.nonEmpty).toDF("s")
+      .select(col("s"), MetaphoneUtil.metaphoneCol(col("s")).as("m"))
+    val got = df.as[(String, String)].collect().toMap
+    vectors.filter(_._1.nonEmpty).foreach { case (in, want) =>
+      assert(got(in) == want.toUpperCase, s"expr metaphone($in) = ${got(in)}")
+    }
+    // codegen: a range-backed projection (literal frames are LocalTableScan)
+    val gen = spark.range(50)
+      .select(MetaphoneUtil.metaphoneCol(concat(lit("street"), col("id"))).as("m"))
+    assert(gen.queryExecution.executedPlan.toString.contains("*(1)"),
+      "metaphone expression fell out of WholeStageCodegen")
+    assert(gen.distinct().count() >= 1)
+  }
 }
