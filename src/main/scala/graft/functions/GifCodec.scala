@@ -97,18 +97,22 @@ object GifCodec {
     * at the min-code-size byte. Returns (indices, offset just past the data
     * terminator). */
   private def lzwDecode(b: Array[Byte], start: Int, nPixels: Int): (Array[Byte], Int) = {
+    // truncated blob: decode nothing rather than index past the array
+    if (start >= b.length) return (Array.empty[Byte], b.length)
     val minCodeSize = b(start) & 0xff
     val clear = 1 << minCodeSize
     val eoi = clear + 1
-    // collect the sub-blocked bytes
+    // collect the sub-blocked bytes (bounded — sub-block lengths in corrupt
+    // data may point past the end)
     val data = new ByteArrayOutputStream()
     var i = start + 1
-    while ((b(i) & 0xff) != 0) {
+    while (i < b.length && (b(i) & 0xff) != 0) {
       val len = b(i) & 0xff
-      data.write(b, i + 1, len)
+      val avail = math.min(len, b.length - (i + 1))
+      if (avail > 0) data.write(b, i + 1, avail)
       i += 1 + len
     }
-    val end = i + 1
+    val end = math.min(i + 1, b.length)
     val bytes = data.toByteArray
     var codeSize = minCodeSize + 1
     // width counter: runs per code READ (the giflib schedule) — the entry
@@ -241,6 +245,9 @@ object GifCodec {
           while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
           i += 1
         case 0x2c =>
+          // a descriptor truncated mid-stream (corrupt blob) is not a frame —
+          // stop at what we parsed rather than index past the array
+          if (i + 10 > b.length) return out.toSeq
           out += i
           val lctFlag = (b(i + 9) & 0x80) != 0
           val lctSize = if (lctFlag) 3 * (2 << (b(i + 9) & 7)) else 0

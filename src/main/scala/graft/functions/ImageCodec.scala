@@ -168,7 +168,9 @@ object WavCodec {
       if (len < 0 || 8 + len + (len & 1) <= 0) return None
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
-    fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits > 0 =>
+    // bits >= 8 also guards the frame-size divide: 1..7-bit (sub-byte) fmt
+    // chunks would make ch*bits/8 == 0 for mono — corrupt header, reject
+    fmt.collect { case (ch, rate, bits) if dataLen >= 0 && ch > 0 && bits >= 8 =>
       (rate, ch, bits, dataLen / (ch * bits / 8))
     }
   }

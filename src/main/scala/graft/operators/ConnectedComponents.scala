@@ -112,10 +112,14 @@ object ConnectedComponents {
   private[graft] def stringDictionary(ids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = ids.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted so the subtree (edge scan + union + distinct + window) runs
+    // ONCE: the counts collect below materializes it, and the returned dict
+    // projection reads the cache instead of re-shuffling the edge set
     val bucketed = ids
       .withColumn("b", pmod(xxhash64(col("id")), lit(p.toLong)))
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("b")).orderBy(col("id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-bucket counts → prefix offsets; tiny (≤P rows) and itself
     // deterministic, so the literal map baked here matches ANY re-execution.
     val counts = bucketed.groupBy("b").count().collect()
@@ -123,8 +127,12 @@ object ConnectedComponents {
     var acc = 0L
     val offsets: Map[Long, Long] =
       counts.map { case (b, c) => val o = acc; acc += c; b -> o }.toMap
-    bucketed.select(col("id"),
+    val dict = bucketed.select(col("id"),
       (element_at(typedLit(offsets), col("b")) + col("rn") - 1).as("mid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dict.count() // materialize from the cached bucketed, then drop the wide cache
+    bucketed.unpersist(false)
+    dict
   }
 
   /** Connected components over STRING node ids via a dense dictionary: the
@@ -144,11 +152,11 @@ object ConnectedComponents {
     * @return (id, component): both strings; component = min member string. */
   def runOnStrings(edges: DataFrame,
                    onRound: Int => Unit = _ => ()): DataFrame = {
+    // stringDictionary returns an already-persisted, materialized dict
     val dict = stringDictionary(
       edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id")))
         .distinct())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val midEdges = edges
       .join(dict.select(col("id").as("src"), col("mid").as("msrc")), "src")

@@ -28,15 +28,22 @@ object Dedup {
   // therefore TRACKED per session and released by [[releaseCaches]] — the
   // caller-driven cleanup hook (Bench calls it between queries; Verify after
   // each write). Without it, repeated invocations in one long-lived session
-  // accumulate cache blocks until LRU eviction. Keys are weak: a collected
-  // session drops its entry.
+  // accumulate cache blocks until LRU eviction. Weak keys would NOT work
+  // here: the tracked DataFrames strongly reference their own SparkSession,
+  // so a WeakHashMap entry would pin its key forever. Instead, entries whose
+  // context has stopped are purged on every touch (a stopped context has
+  // already dropped its cache blocks — only the bookkeeping needs freeing).
   private val tracked =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.HashMap[org.apache.spark.sql.SparkSession,
       java.util.ArrayDeque[DataFrame]]()
+
+  private def purgeStopped(): Unit =
+    tracked.keySet().removeIf(s => s.sparkContext.isStopped)
 
   private def trackPersist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     tracked.synchronized {
+      purgeStopped()
       tracked.computeIfAbsent(df.sparkSession,
         _ => new java.util.ArrayDeque[DataFrame]()).add(p)
     }
@@ -47,7 +54,7 @@ object Dedup {
     * call once the returned DataFrames have been materialized (a later action
     * would recompute, not fail). */
   def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val q = tracked.synchronized(Option(tracked.remove(spark)))
+    val q = tracked.synchronized { purgeStopped(); Option(tracked.remove(spark)) }
     q.foreach(_.forEach(df => df.unpersist(false)))
   }
 

@@ -143,8 +143,15 @@ object GoldEval {
     * through the unrestricted fallback). Deterministic, annotation-only —
     * no model, no frequency fitting — so "mining" is exactly gazetteer
     * ingestion, the path [[Gazetteer.etl]] takes for any PTT-shaped input. */
-  def mineRows(paths: Seq[String]): Seq[graft.sources.GazRow] = {
-    paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }
+  def mineRows(paths: Seq[String]): Seq[graft.sources.GazRow] =
+    mineRowsFromSents(paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) })
+
+  /** [[mineRows]] over already-parsed sentences — the shape [[predictions]]
+    * uses so each gold file is read and parsed ONCE per evaluation, not
+    * re-read per held-out corpus (O(N²) file I/O for N corpora). */
+  def mineRowsFromSents(
+      sents: Seq[(Long, Array[String], Array[String])]): Seq[graft.sources.GazRow] = {
+    sents
       .flatMap { case (_, toks, tags) =>
         val sps = tagsToSpans(tags)
         def names(tpe: String): Seq[String] =
@@ -165,8 +172,15 @@ object GoldEval {
     * hastanesi"). Kept when alphabetic, ≥3 chars, seen ≥`minFreq` times;
     * merged with the builtin keyword family. Same held-out discipline as
     * [[mineRows]]. */
-  def mineTarifAnchors(paths: Seq[String], minFreq: Int = 1): Set[String] = {
-    val heads = paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }
+  def mineTarifAnchors(paths: Seq[String], minFreq: Int = 1): Set[String] =
+    mineTarifAnchorsFromSents(
+      paths.zipWithIndex.flatMap { case (p, i) => readGold(p, i) }, minFreq)
+
+  /** [[mineTarifAnchors]] over already-parsed sentences (see
+    * [[mineRowsFromSents]]). */
+  def mineTarifAnchorsFromSents(
+      sents: Seq[(Long, Array[String], Array[String])], minFreq: Int = 1): Set[String] = {
+    val heads = sents
       .flatMap { case (_, toks, tags) =>
         tagsToSpans(tags).filter(_._1 == "TARIF").flatMap { case (_, s, e) =>
           toks.slice(s, e).map(canonToken).lastOption
@@ -221,18 +235,21 @@ object GoldEval {
   private def predictions(spark: SparkSession, paths: Seq[String],
                           mineCross: Boolean): (DataFrame, DataFrame) = {
     import spark.implicits._
+    val emptySpans = spark.emptyDataset[(Long, String, Int, Int)]
+      .toDF("sent_id", "entity_type", "start", "end")
+    if (paths.isEmpty) return (emptySpans, emptySpans)
     val byCorpus = paths.zipWithIndex.map { case (p, i) => (p, readGold(p, i)) }
     val gold = byCorpus.flatMap(_._2).flatMap { case (sid, _, tags) =>
       tagsToSpans(tags).map { case (t, s, e) => (sid, t, s, e) }
     }.toDF("sent_id", "entity_type", "start", "end")
 
     val preds = byCorpus.map { case (path, sents) =>
-      val others = paths.filterNot(_ == path)
+      val otherSents = byCorpus.collect { case (p, ss) if p != path => ss }.flatten
       val rows =
         if (!mineCross) Gazetteer.rows
-        else Gazetteer.rows ++ mineRows(others)
+        else Gazetteer.rows ++ mineRowsFromSents(otherSents)
       val anchors =
-        if (!mineCross) NerOutputs.TarifKw else mineTarifAnchors(others)
+        if (!mineCross) NerOutputs.TarifKw else mineTarifAnchorsFromSents(otherSents)
       val idx = StaticParser.broadcastIndex(spark, rows)
       spark.createDataset(sents.map { case (sid, toks, _) => (sid, toks) })
         .mapPartitions { it =>
@@ -254,14 +271,17 @@ object GoldEval {
   def confusion(spark: SparkSession, paths: Seq[String] = DefaultPaths,
                 mineCross: Boolean = true): DataFrame = {
     import spark.implicits._
-    val tokens = paths.zipWithIndex.map { case (path, i) =>
-      val sents = readGold(path, i)
-      val others = paths.filterNot(_ == path)
+    if (paths.isEmpty)
+      return Eval.confusionMatrix(spark.emptyDataset[(Long, Int, String, String)]
+        .toDF("sent_id", "pos", "gold_type", "pred_type"))
+    val byCorpus = paths.zipWithIndex.map { case (p, i) => (p, readGold(p, i)) }
+    val tokens = byCorpus.map { case (path, sents) =>
+      val otherSents = byCorpus.collect { case (p, ss) if p != path => ss }.flatten
       val rows =
         if (!mineCross) Gazetteer.rows
-        else Gazetteer.rows ++ mineRows(others)
+        else Gazetteer.rows ++ mineRowsFromSents(otherSents)
       val anchors =
-        if (!mineCross) NerOutputs.TarifKw else mineTarifAnchors(others)
+        if (!mineCross) NerOutputs.TarifKw else mineTarifAnchorsFromSents(otherSents)
       val idx = StaticParser.broadcastIndex(spark, rows)
       spark.createDataset(sents.map { case (sid, toks, tags) => (sid, toks, tags) })
         .mapPartitions { it =>

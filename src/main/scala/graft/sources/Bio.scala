@@ -212,7 +212,10 @@ object Bio {
       body :+= seg("SOKAK", (toks :+ pick(StreetKwPool, seed, id, 56)): _*)
     }
     if (body.length > 1 && chance(seed, id, 57, 20)) // p_shuffle_segments
-      body = body.zipWithIndex.sortBy { case (_, i) => rng(seed, id, 58L + i) }.map(_._1)
+      // sort-key tags live in their own 130+ range: 58+i would collide with
+      // the rBF stream (60) and BINA_NO's 61..65, correlating segment order
+      // with building/flat structure instead of shuffling independently
+      body = body.zipWithIndex.sortBy { case (_, i) => rng(seed, id, 130L + i) }.map(_._1)
 
     var flat = body.flatten
 
@@ -279,7 +282,10 @@ object Bio {
     if (chance(seed, id, 82, 5)) flat = flat.map { case (t, y) => (trUpper(t), y) }
 
     // --- ≥3-separator O-noise + country tail (.05, seps ("-","/")) ---
-    if (chance(seed, id, 67, 5))
+    // tag 120, NOT 67: chance(67,5) is a strict subset of DAIRE_NO's colon
+    // stream chance(66+1,55), which made every noisy sample with a DAIRE_NO
+    // segment carry the colon form with probability 1.0
+    if (chance(seed, id, 120, 5))
       flat = injectNoise(flat, seed, id, minSeps = 3, seps = IndexedSeq("-", "/"))
 
     val tokens = flat.map(_._1).toArray

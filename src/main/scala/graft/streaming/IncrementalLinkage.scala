@@ -96,12 +96,24 @@ object IncrementalLinkage {
 
   // ----------------------------- state layout ------------------------------
 
+  /** `name` minus `prefix` iff the remainder is a well-formed batch id.
+    * Anything else — in particular a `compacted_N.tmp` leftover from a crash
+    * between `Files.write` and the atomic rename — is NOT state and must be
+    * ignored, never parsed (a `.toLong` crash here would permanently block
+    * every restart, defeating the tmp+rename crash-safety it implements). */
+  private def numericSuffix(name: String, prefix: String): Option[Long] = {
+    val s = name.stripPrefix(prefix)
+    if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
+      scala.util.Try(s.toLong).toOption
+    else None
+  }
+
   /** Batch ids with a fully committed delta (all three dirs have _SUCCESS),
     * ascending. */
   def committedBatches(stateDir: String): Seq[Long] = {
     val d = new java.io.File(stateDir)
     val names = Option(d.list()).getOrElse(Array.empty[String])
-    names.collect { case n if n.startsWith("changed_") => n.stripPrefix("changed_").toLong }
+    names.flatMap(n => numericSuffix(n, "changed_"))
       .filter { b =>
         Seq(s"changed_$b", s"prepared_delta_$b", s"scored_delta_$b")
           .forall(n => new java.io.File(new java.io.File(d, n), "_SUCCESS").exists())
@@ -112,8 +124,7 @@ object IncrementalLinkage {
   def compactions(stateDir: String): Seq[Long] = {
     val d = new java.io.File(stateDir)
     Option(d.list()).getOrElse(Array.empty[String])
-      .collect { case n if n.startsWith("compacted_") => n.stripPrefix("compacted_").toLong }
-      .sorted.toSeq
+      .flatMap(n => numericSuffix(n, "compacted_")).sorted.toSeq
   }
 
   /** The delta batches that constitute the state before `beforeBatch`:
@@ -163,13 +174,70 @@ object IncrementalLinkage {
     compactions(stateDir).filter(_ < currentBatch).lastOption.foreach { c =>
       committedBatches(stateDir).filter(_ < c).foreach { b =>
         Seq(s"changed_$b", s"prepared_delta_$b", s"scored_delta_$b").foreach { n =>
-          val dir = Paths.get(stateDir, n)
-          if (Files.isDirectory(dir)) {
-            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p))
-          }
+          deleteRecursively(Paths.get(stateDir, n))
         }
       }
+    }
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (Files.isDirectory(dir)) {
+      // Files.walk holds an open directory handle until closed — a GC pass
+      // over many delta dirs would otherwise leak fds until finalization
+      scala.util.Using.resource(Files.walk(dir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+
+  /** One-time migration of round-2-layout state (full-rewrite `prepared_N` /
+    * `scored_N` dirs, latest complete pair = the state) into the delta
+    * layout: that pair becomes a compaction base at its batch id, `changed`
+    * covering every block it knows, so `loadScoredState`'s last-touch merge
+    * resolves to it exactly as round 2's `loadLatest` did. Older legacy
+    * versions were superseded full rewrites — deleted. No-op when delta
+    * state already exists (a migrated dir has no legacy names left). Without
+    * this, a round-2 deployment restarting on current code would silently
+    * load EMPTY state while its checkpoint blocks re-ingesting the pages
+    * that produced the old state. */
+  private[streaming] def migrateLegacyState(spark: SparkSession, stateDir: String): Unit = {
+    val d = new java.io.File(stateDir)
+    val names = Option(d.list()).getOrElse(Array.empty[String])
+    def complete(prefix: String) = names
+      .flatMap(n => numericSuffix(n, prefix)) // "prepared_delta_7" has a
+      .filter(b => new java.io.File(new java.io.File(d, s"$prefix$b"), "_SUCCESS").exists())
+      .toSet                                  // non-numeric "prepared_" suffix
+    val legacyP = complete("prepared_")
+    val legacyS = complete("scored_")
+    val deltaP  = complete("prepared_delta_")
+    val deltaS  = complete("scored_delta_")
+    // needs migration: some half is still in the legacy layout, both halves
+    // exist in SOME layout (resumes a crash mid-migration), not yet marked
+    val marked = compactions(stateDir).toSet
+    val candidates = (legacyP ++ legacyS).filter(b =>
+      (legacyP(b) || deltaP(b)) && (legacyS(b) || deltaS(b)) && !marked(b))
+    if (candidates.isEmpty) return
+    val base = candidates.max
+    // step order is crash-resumable: each step is idempotent (overwrite) or
+    // skipped when its source already moved; a crash at any point leaves a
+    // state this function re-enters and finishes on the next run
+    val prepSrc = if (deltaP(base)) s"prepared_delta_$base" else s"prepared_$base"
+    spark.read.parquet(s"$stateDir/$prepSrc").select("block_key").distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/changed_$base")
+    if (!deltaS(base))
+      Files.move(Paths.get(stateDir, s"scored_$base"),
+        Paths.get(stateDir, s"scored_delta_$base"))
+    if (!deltaP(base))
+      Files.move(Paths.get(stateDir, s"prepared_$base"),
+        Paths.get(stateDir, s"prepared_delta_$base"))
+    val tmp = Paths.get(stateDir, s"compacted_$base.tmp")
+    Files.write(tmp, Array.empty[Byte])
+    Files.move(tmp, Paths.get(stateDir, s"compacted_$base"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // older legacy versions were superseded full rewrites
+    ((legacyP ++ legacyS) - base).foreach { b =>
+      deleteRecursively(Paths.get(stateDir, s"prepared_$b"))
+      deleteRecursively(Paths.get(stateDir, s"scored_$b"))
     }
   }
 
@@ -181,6 +249,7 @@ object IncrementalLinkage {
   def run(spark: SparkSession, inDir: String, stateDir: String,
           checkpoint: String, cfg: Linkage.Config = Linkage.Config(),
           compactEvery: Int = 8): StreamingQuery = {
+    migrateLegacyState(spark, stateDir)
     StreamingIngest.readPages(spark, inDir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession

@@ -39,7 +39,7 @@ object StreamingIngest {
     pages.select(col("url"), col("warc_ts"),
         regexp_extract(col("text"), cfg.extractPattern, 1).as("extracted"))
       .withColumn("norm", Blocking.blockNorm(col("extracted")))
-      .withColumn("block_key", Blocking.blockKey(col("norm")))
+      .withColumn("block_key", Blocking.blockKey(col("norm"), cfg.phonetic))
 
   /** Stateful: per-hour per-block arrival counts with a 2-hour watermark. */
   def blockStats(prepared: DataFrame): DataFrame =

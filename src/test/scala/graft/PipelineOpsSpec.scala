@@ -235,6 +235,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(WavCodec.decodeHeader("RIFFnope".getBytes).isEmpty)
     val (w, h, rate, frames, feat) = Multimodal.decode(wav)
     assert(w == 0 && h == 0 && rate == 16000 && frames == 1 && feat.length == 8)
+
+    // corrupt fmt chunk declaring sub-byte samples: ch*bits/8 would be 0 —
+    // must reject, not divide by zero (bits lives at offset 34)
+    val subByte = wav.clone(); subByte(34) = 4
+    assert(WavCodec.decodeHeader(subByte).isEmpty)
+  }
+
+  test("codecs: truncated blobs decode gracefully, never index out of bounds") {
+    import graft.functions.{GifCodec, ImageCodec, WavCodec}
+    import graft.operators.Multimodal
+    def pix(f: Int, x: Int, y: Int): Int = (f + x * 3 + y * 5) & 0x0f
+    val gif = GifCodec.encodeGif(21, 17, 3, 6, pix)
+    val wav = WavCodec.encodeWav(8000, Array.tabulate(64)(i => (i * 7).toShort))
+    // every prefix of a real blob is a plausible corrupt record (a partial
+    // file, a truncated parquet binary cell) — the codecs must degrade to
+    // None/Nil/partial frames, because one AIOOBE fails the whole task
+    (0 until gif.length).foreach { n =>
+      val t = gif.take(n)
+      GifCodec.decodeMeta(t)               // must not throw
+      GifCodec.frameOffsets(t).indices.foreach(f => GifCodec.decodeFrameIndices(t, f))
+      ImageCodec.decodeDims(t)
+      Multimodal.decode(t)
+    }
+    (0 until wav.length).foreach { n =>
+      WavCodec.decodeHeader(wav.take(n))
+      Multimodal.decode(wav.take(n))
+    }
+    // full blobs still decode after the bounds hardening
+    assert(GifCodec.decodeMeta(gif).contains((21, 17, 3)))
+    assert(WavCodec.decodeHeader(wav).contains((8000, 1, 16, 64)))
   }
 
   test("gif codec: animated GIF89a round-trips through the independent LZW decoder") {

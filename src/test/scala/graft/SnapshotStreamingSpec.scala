@@ -96,6 +96,20 @@ class SnapshotStreamingSpec extends AnyFunSuite {
     val batch = Linkage.prepare(pages).select("url", "extracted", "norm", "block_key")
     assert(streamed.count() == 300)
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+
+    // non-default phonetic config flows through the streaming twin too —
+    // a soundex/metaphone mismatch would silently desynchronize streaming
+    // block stats from the blocks linkage actually pairs on
+    val mCfg = Linkage.Config(phonetic = "metaphone")
+    val outDir2 = tmpDir("stream-out-m") + "/out"
+    val q2 = StreamingIngest.writePrepared(
+      StreamingIngest.prepared(StreamingIngest.readPages(spark, inDir), mCfg),
+      outDir2, tmpDir("stream-ckpt-m")).start()
+    q2.awaitTermination(120000)
+    val streamedM = spark.read.parquet(outDir2).select("url", "block_key")
+    val batchM = Linkage.prepare(pages, mCfg).select("url", "block_key")
+    assert(streamedM.except(batchM).count() == 0 && batchM.except(streamedM).count() == 0,
+      "streaming block keys diverge from batch prepare under metaphone config")
   }
 
   test("streaming block stats: watermarked windowed aggregation completes") {
@@ -237,6 +251,46 @@ class SnapshotStreamingSpec extends AnyFunSuite {
       .select("url_a", "url_b", "score", "is_match")
     assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
       "compacted+GC'd state diverged from full recompute")
+    all.unpersist()
+  }
+
+  test("incremental linkage: round-2 legacy state migrates; crash-leftover .tmp markers ignored") {
+    import graft.streaming.IncrementalLinkage
+    val inDir = tmpDir("inc-in-m")
+    val stateDir = tmpDir("inc-state-m")
+    val ckpt = tmpDir("inc-ckpt-m")
+    val all = Pages.synthesize(spark, 400).toDF().persist()
+    val a = all.filter(Pages.goldEntityId(col("url")) < 80)
+    val b = all.filter(Pages.goldEntityId(col("url")) >= 80)
+
+    // batch 0 under the CURRENT layout, then hand-convert its state to the
+    // round-2 layout (full-rewrite prepared_N/scored_N, no changed/marker) —
+    // exactly what a round-2 deployment's stateDir looks like mid-upgrade
+    a.write.mode("append").parquet(inDir)
+    IncrementalLinkage.run(spark, inDir, stateDir, ckpt).awaitTermination()
+    Files.move(Paths.get(stateDir, "prepared_delta_0"), Paths.get(stateDir, "prepared_0"))
+    Files.move(Paths.get(stateDir, "scored_delta_0"), Paths.get(stateDir, "scored_0"))
+    val changed0 = Paths.get(stateDir, "changed_0")
+    Files.walk(changed0).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    // crash leftover between Files.write and the atomic rename: must be
+    // ignored by compactions(), never parsed as a batch id
+    Files.write(Paths.get(stateDir, "compacted_99.tmp"), Array.empty[Byte])
+    assert(IncrementalLinkage.compactions(stateDir).isEmpty)
+
+    // batch 1 on current code: migration adopts the legacy state as a
+    // compaction base, then the delta merge carries it forward
+    b.write.mode("append").parquet(inDir)
+    IncrementalLinkage.run(spark, inDir, stateDir, ckpt).awaitTermination()
+    assert(IncrementalLinkage.compactions(stateDir) == Seq(0L),
+      s"legacy base not adopted: ${IncrementalLinkage.compactions(stateDir)}")
+    assert(IncrementalLinkage.committedBatches(stateDir) == Seq(0L, 1L))
+    val inc = IncrementalLinkage.loadScoredState(spark, stateDir)
+      .select("url_a", "url_b", "score", "is_match")
+    val full = Linkage.scored(Linkage.prepare(all))
+      .select("url_a", "url_b", "score", "is_match")
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "state after legacy migration diverged from full recompute")
     all.unpersist()
   }
 }
