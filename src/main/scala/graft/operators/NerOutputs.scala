@@ -54,6 +54,27 @@ object NerOutputs {
     Set("mah", "cad", "sk", "no", "kat", "daire", "d", ":", "/") ++
       SiteKw ++ BinaAdiKw ++ BulvarKw ++ TarifKw
 
+  /** Edit-distance-1 match against the LONG apartman keyword forms — the
+    * gold corpora's BINA_ADI typo tail ("aprtmani", "apat"). Targets are ≥5
+    * chars and the length gap is bounded first, so the fuzz cannot claim
+    * short or unrelated words. */
+  /** Generic tokens that precede a district in business addresses but are
+    * never a neighbourhood name (country, "center", "branch", plural
+    * "sites") — excluded from the positional bare-MAHALLE claim. */
+  private[operators] val NotNbhd: Set[String] =
+    Set("turkiye", "merkez", "sube", "subesi", "siteler",
+      // closed-class organizational nouns (unit, group, office, branch,
+      // department, directorate, bank, clinic) — an address ending
+      // "<org-noun> <district>" names a business, not a neighbourhood
+      "birimi", "grubu", "amirligi", "poliklinigi", "bankasi", "ofisi",
+      "bolumu", "mudurlugu", "sti", "ltd")
+
+  private val FuzzyBinaTargets = Seq("apartmani", "apartman", "apart")
+  private[operators] def binaFuzzy(t: String): Boolean =
+    t.length >= 4 && t.forall(_.isLetter) && !BinaAdiKw(t) &&
+      FuzzyBinaTargets.exists(k => math.abs(k.length - t.length) <= 1 &&
+        Scoring.levenshtein(k, t) <= 1)
+
   /** Token spans (start token, end token exclusive, type) for one token array.
     *
     * Evidence order (round-3, tuned on the pooled gold corpora with the
@@ -113,7 +134,9 @@ object NerOutputs {
     // left boundary of a keyword-anchored name: claim the adjacent token when
     // it is a name or (for street-family anchors) a number ("1004 sokak");
     // extend over further NAME tokens while they are not claimed by anything
-    def nameStart(i: Int, digitFirst: Boolean, cap: Int): Int = {
+    def nameStart(i: Int, digitFirst: Boolean, cap: Int,
+                  digitsInWalk: Boolean = false,
+                  walkStop: String => Boolean = _ => false): Int = {
       if (i == 0) return i
       val adj = tokens(i - 1)
       val adjOk = !covered(i - 1) &&
@@ -121,7 +144,12 @@ object NerOutputs {
       if (!adjOk) return i
       var j = i - 1
       var steps = 1
-      while (steps < cap && j > 0 && nameLike(tokens(j - 1)) &&
+      // digitsInWalk: date-named neighbourhoods lead with a number ("16
+      // eylul mah", "15 mayis mah") — the walk may cross a short digit run
+      def walkable(k: Int): Boolean = (nameLike(tokens(k)) ||
+        (digitsInWalk && digits(tokens(k)) && tokens(k).length <= 2)) &&
+        !walkStop(tokens(k))
+      while (steps < cap && j > 0 && walkable(j - 1) &&
           !covered(j - 1) && !adminCovered(j - 1)) {
         j -= 1; steps += 1
       }
@@ -139,7 +167,13 @@ object NerOutputs {
       // neighbourhood: name + canonical keyword — the dominant gold surface
       // form ("kazimdirik mah"); bare names are the gazetteer probe's job
       if (t == "mah") {
-        val j = nameStart(i, digitFirst = true, nameWalk)
+        // the walk's EXTENSION (beyond the adjacent token) stops at known
+        // district names and stray single letters: "manisa alasehir fatih
+        // mah" keeps "alasehir" as its own ILCE span — but the ADJACENT
+        // token is still claimed even when it names a district, because
+        // districts and neighbourhoods share names ("yunusemre mah")
+        val j = nameStart(i, digitFirst = true, nameWalk, digitsInWalk = true,
+          walkStop = w => w.length == 1 || idx.distIndex.contains(w))
         if (j < i) out += (("MAHALLE", j, i + 1))
       }
       // street/avenue: name + canonical indicator (the keyword is part of
@@ -158,23 +192,32 @@ object NerOutputs {
         val j = nameStart(i, digitFirst = false, nameWalk)
         if (j < i) out += (("SITE_ADI", j, i + 1))
       }
-      // building name: blok/apartman keywords; "blok : A" keyword-first form
-      if (NerOutputs.BinaAdiKw(t)) {
+      // building name: blok/apartman keywords (exact, or edit-distance-1 for
+      // the long apartman forms — "aprtmani", "apat" are the gold corpora's
+      // typo tail); "blok : A" keyword-first form
+      if (NerOutputs.BinaAdiKw(t) || binaFuzzy(t)) {
         if (t == "blok" && i + 2 < T && tokens(i + 1) == ":") {
           // "blok : A94" normalizes to "blok : a 94" (N4 splits letter-digit
           // boundaries) — absorb the trailing digit run into the label span
           val end = if (i + 3 < T && digits(tokens(i + 3))) i + 4 else i + 3
           out += (("BINA_ADI", i, end))
+        } else if (i > 0 && !covered(i - 1) && tokens(i - 1).length == 1 &&
+            tokens(i - 1).charAt(0).isLetterOrDigit) {
+          // single-char blok label: gold tags EXACTLY "<x> blok" — the site
+          // name to its left is its own (SITE_ADI/BINA_ADI) span, so no left
+          // walk ("gultekin best a blok" is [a blok], not the whole phrase);
+          // a small trailing digit joins ("d blok 2")
+          val end = if (i + 1 < T && digits(tokens(i + 1)) &&
+            tokens(i + 1).length <= 2 && !covered(i + 1)) i + 2 else i + 1
+          out += (("BINA_ADI", i - 1, end))
         } else {
-          // blok labels are letters OR digits OR single chars ("27 blok",
-          // "d blok" — "d" is the daire stop-keyword but a valid label here)
-          val j0 = nameStart(i, digitFirst = true, nameWalk)
-          val j =
-            if (j0 < i) j0
-            else if (i > 0 && !covered(i - 1) && tokens(i - 1).length == 1 &&
-              tokens(i - 1).charAt(0).isLetterOrDigit) i - 1
-            else i
+          // blok labels are letters OR digits ("27 blok", "yildiz apartmani")
+          val j = nameStart(i, digitFirst = true, nameWalk)
           if (j < i) out += (("BINA_ADI", j, i + 1))
+          // bare keyword: gold tags a lone "apartman" with no label ("no : 4
+          // apartman") as its own span — blok stays label-anchored (a bare
+          // "blok" is usually mid-phrase noise)
+          else if (t != "blok" && !covered(i)) out += (("BINA_ADI", i, i + 1))
         }
       }
       // parenthetical free-text note: "( ... )" is a TARIF span in 16 of the
@@ -241,6 +284,31 @@ object NerOutputs {
     // --- 3. keyword evidence wins over tentative admin point matches
     out ++= admin.filterNot { case (_, s, e) =>
       out.exists { case (_, s2, e2) => s < e2 && s2 < e }
+    }
+
+    // --- 3.5 positional bare-MAHALLE: in the Turkish address tail the name
+    // run immediately before a recognized district is the neighbourhood
+    // ("... kuspinar pamukkale denizli"), optionally across one separator
+    // ("turgutreis - bodrum"). Claimed only when name-like and uncovered;
+    // extends over ONE more name token ("mustafa kemal buca"), guarded
+    // against stutter typos ("mavis mavisehir" claims only "mavisehir").
+    out.collect { case ("ILCE", s, _) => s }.foreach { s0 =>
+      var k = s0 - 1
+      if (k >= 0 && (tokens(k) == "/" || tokens(k) == "-")) k -= 1
+      if (k >= 0 && nameLike(tokens(k)) && !covered(k) &&
+          !NerOutputs.NotNbhd(tokens(k))) {
+        var j = k
+        // extend over ONE more name token, only when that makes the COMPLETE
+        // uncovered name run ("6 mustafa kemal buca" → "mustafa kemal") —
+        // a longer run is a business/organization name whose tail is not a
+        // neighbourhood ("proje ofisi muradiye" → just "muradiye"); stutter
+        // typos never join ("mavis mavisehir" claims only "mavisehir")
+        if (j > 0 && nameLike(tokens(j - 1)) && !covered(j - 1) &&
+            !tokens(j).startsWith(tokens(j - 1)) &&
+            (j - 1 == 0 || !nameLike(tokens(j - 2))))
+          j -= 1
+        out += (("MAHALLE", j, k + 1))
+      }
     }
 
     // --- 4. gazetteer MAHALLE probe for bare (keyword-less) names ---
