@@ -177,9 +177,19 @@ object NerOutputs {
         if (j < i) out += (("MAHALLE", j, i + 1))
       }
       // street/avenue: name + canonical indicator (the keyword is part of
-      // the span in the reference's annotation — "1004 sokak" is B-/I-SOKAK)
+      // the span in the reference's annotation — "1004 sokak" is B-/I-SOKAK).
+      // A numeric street name is complete in itself — never walk past the
+      // number into unrelated names ("girne 2103 sk" keeps "girne" free for
+      // the neighbourhood probe) — but named streets may carry a leading
+      // number ("30 agustos sk", "16 nci sk": digitsInWalk), and slashed
+      // numeric names are ONE span ("367 / 2 sk")
       if (t == "sk" || t == "cad") {
-        val j = nameStart(i, digitFirst = true, nameWalk)
+        var j =
+          if (i > 0 && !covered(i - 1) && digits(tokens(i - 1))) i - 1
+          else nameStart(i, digitFirst = true, nameWalk, digitsInWalk = true)
+        while (j >= 2 && digits(tokens(j)) && tokens(j - 1) == "/" &&
+            digits(tokens(j - 2)) && !covered(j - 1) && !covered(j - 2))
+          j -= 2
         if (j < i) out += ((if (t == "sk") "SOKAK" else "CADDE", j, i + 1))
       }
       // boulevard: name + keyword (static-normalized surface forms)
@@ -244,46 +254,150 @@ object NerOutputs {
         }
       }
       // floor: "3 kat" / "zemin kat" (number-first, the reference's floor
-      // template 0) and "kat : 3" / "kat 3" / "k : 3" (keyword-first)
+      // template 0) and "kat : 3" / "kat 3" / "k : 3" / "k 6" (keyword-first)
       if (t == "kat" && i > 0 && !covered(i) && !covered(i - 1) &&
           ((digits(tokens(i - 1)) && tokens(i - 1).length <= 2) ||
             tokens(i - 1) == "zemin"))
         out += (("KAT", i - 1, i + 1))
-      else if ((t == "kat" || (t == "k" && i + 1 < T && tokens(i + 1) == ":"))
-          && i + 1 < T && !covered(i)) {
+      else if ((t == "kat" || t == "k") && i + 1 < T && !covered(i)) {
         val j = if (tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
         if (j < T && digits(tokens(j)) && tokens(j).length <= 3)
           out += (("KAT", i, j + 1))
       }
-      // flat: "daire [no] [:] 5" / "d : 5"
-      if ((t == "daire" || (t == "d" && i + 1 < T && tokens(i + 1) == ":"))
-          && i + 1 < T && !covered(i)) {
+      // flat: "daire [no] [:|/] 5" / "d : 5" / "d 7" / "oda 401"; a trailing
+      // single letter joins ("daire 9 c"); a bare defective "daire"/"d" with
+      // no number is still tagged (gold convention for dropped numbers)
+      if ((t == "daire" || t == "oda" || (t == "d" && i + 1 < T &&
+          (tokens(i + 1) == ":" || digits(tokens(i + 1))))) && !covered(i)) {
         var j = i + 1
         if (t == "daire" && j < T && tokens(j) == "no") j += 1
-        if (j < T && tokens(j) == ":") j += 1
-        if (j < T && digits(tokens(j)) && tokens(j).length <= 3)
-          out += (("DAIRE_NO", i, j + 1))
+        if (j < T && (tokens(j) == ":" || tokens(j) == "/")) j += 1
+        if (j < T && digits(tokens(j)) && tokens(j).length <= 3) {
+          val e = if (j + 1 < T && tokens(j + 1).length == 1 &&
+            tokens(j + 1).charAt(0).isLetter && !covered(j + 1) &&
+            (j + 2 >= T || (tokens(j + 2) != ":" && !digits(tokens(j + 2))))) j + 2 else j + 1
+          out += (("DAIRE_NO", i, e))
+        } else if (t == "daire" &&
+            (j >= T || (!digits(tokens(j)) && tokens(j) != "blok")))
+          out += (("DAIRE_NO", i, i + 1))
       }
-      // flat, slash form: "12 / 3" — gold tags "/ 3" as the DAIRE_NO span
+      // bare dangling "d" (defective flat marker: "kat 1 d gulkent") — not
+      // a blok label, not a keyword form, nothing to attach to
+      if (t == "d" && !covered(i) &&
+          (i + 1 >= T || (!digits(tokens(i + 1)) && tokens(i + 1) != ":" &&
+            tokens(i + 1) != "blok")))
+        out += (("DAIRE_NO", i, i + 1))
+      // flat, slash form: "12 / 3" — gold tags "/ 3" as the DAIRE_NO span.
+      // NOT when the slashed pair is a street name ("367 / 2 sk"); and when
+      // the left digits were claimed by a KEYWORD building number, the
+      // suffix belongs to it instead ("no 9 / d", "no 43 / 9" are one span)
       if (t == "/" && i > 0 && i + 1 < T && digits(tokens(i - 1)) &&
           !covered(i) && !covered(i + 1)) {
         val nxt = tokens(i + 1)
-        if ((digits(nxt) && nxt.length <= 3) ||
-            (nxt.length == 1 && nxt.charAt(0).isLetter))
-          out += (("DAIRE_NO", i, i + 2))
+        val ok = (digits(nxt) && nxt.length <= 3) ||
+          (nxt.length == 1 && nxt.charAt(0).isLetter)
+        val streetName = i + 2 < T && digits(nxt) &&
+          (tokens(i + 2) == "sk" || tokens(i + 2) == "cad")
+        if (ok && !streetName) {
+          // letter suffix only: "no 9 / d" is one building span (the
+          // generator's own "12 / A" form), but "no : 6 / 3" keeps its
+          // digit suffix as the flat number
+          val bIdx = if (digits(nxt)) -1 else out.indexWhere { case (tp, s0, e) =>
+            tp == "BINA_NO" && e == i && !digits(tokens(s0)) }
+          if (bIdx >= 0) {
+            val (tp, s0, _) = out(bIdx)
+            out(bIdx) = (tp, s0, i + 2)
+          } else out += (("DAIRE_NO", i, i + 2))
+        }
       }
-      // building number: "no[:] 12" — keyword + digits, like the annotation
-      if (t == "no" && i + 1 < T && !covered(i)) {
-        val j = if (tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
-        if (j < T && digits(tokens(j)) && tokens(j).length <= 4)
-          out += (("BINA_NO", i, j + 1))
+      // building number: "[bina] no|numara|n [:] 12 [x]" — keyword + digits
+      // (+ trailing single letter: "no 85 a"); "bina : 7 [/ 12]"; a bare
+      // defective "no" is tagged alone or with its slashed number ("no / 5")
+      if ((t == "no" || t == "numara" ||
+          (t == "n" && i + 1 < T && tokens(i + 1) == ":")) && !covered(i)) {
+        val s0 = if (i > 0 && tokens(i - 1) == "bina" && !covered(i - 1)) i - 1 else i
+        val j = if (i + 1 < T && tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
+        if (j < T && digits(tokens(j)) && tokens(j).length <= 4) {
+          val e = if (j + 1 < T && tokens(j + 1).length == 1 &&
+            tokens(j + 1).charAt(0).isLetter && !covered(j + 1) &&
+            (j + 2 >= T || (tokens(j + 2) != ":" && !digits(tokens(j + 2))))) j + 2 else j + 1
+          out += (("BINA_NO", s0, e))
+        } else if (t == "no") {
+          if (i + 1 < T && (tokens(i + 1) == "/" || tokens(i + 1) == "-") &&
+              i + 2 < T && (digits(tokens(i + 2)) || tokens(i + 2).length == 1))
+            out += (("BINA_NO", i, i + 3))
+          else if (i + 1 >= T || tokens(i + 1) != ":")
+            out += (("BINA_NO", i, i + 1))
+        }
       }
+      // keyword-first "bina : 7 [/ 12]" (no "no"): the whole run is the span
+      if (t == "bina" && !covered(i) && i + 1 < T && tokens(i + 1) == ":" &&
+          i + 2 < T && digits(tokens(i + 2))) {
+        val e = if (i + 4 < T && tokens(i + 3) == "/" && digits(tokens(i + 4)))
+          i + 5 else i + 3
+        out += (("BINA_NO", i, e))
+      }
+      // naked street-number: "<sk|sitesi|blok> 10 / 3" — the number after a
+      // structural keyword is the building number (its "/ 3" flat suffix is
+      // the slash rule's), unless the slashed pair is itself a street name
+      if (digits(t) && t.length <= 3 && !covered(i) && i > 0 &&
+          (covered(i - 1) || NerOutputs.StopKw(tokens(i - 1))) &&
+          i + 2 < T && tokens(i + 1) == "/" &&
+          (digits(tokens(i + 2)) || tokens(i + 2).length == 1) &&
+          !(i + 3 < T && (tokens(i + 3) == "sk" || tokens(i + 3) == "cad")))
+        out += (("BINA_NO", i, i + 1))
       i += 1
+    }
+
+    // --- 2.6 dictionary ILCE sweep: every uncovered window matching a KNOWN
+    // district name is an ILCE span. bestMatch (above) picks ONE name per
+    // sentence — real addresses mix and repeat districts ("sirinyer / buca /
+    // izmir", "... soke ilce milli egitim mudurlugu soke aydin"), and the
+    // leave-one-corpus-out mined gazetteer makes the dictionary precise.
+    {
+      var k = 0
+      while (k < T) {
+        val hit = idx.distIndex.getOrElse(tokens(k), Array.empty[(Array[String], String)])
+          .find { case (toks2, _) =>
+            toks2.length <= T - k &&
+              (0 until toks2.length).forall(x => tokens(k + x) == toks2(x)) &&
+              !(k until k + toks2.length).exists(covered)
+          }
+        hit match {
+          case Some((toks2, _)) =>
+            out += (("ILCE", k, k + toks2.length)); k += toks2.length
+          case None => k += 1
+        }
+      }
     }
 
     // --- 3. keyword evidence wins over tentative admin point matches
     out ++= admin.filterNot { case (_, s, e) =>
       out.exists { case (_, s2, e2) => s < e2 && s2 < e }
+    }
+
+    // --- 3.4 positional ILCE: the name run immediately before a recognized
+    // province is the district ("koycegiz mugla", "soke / aydin") — the
+    // leave-one-out mined dictionary cannot know districts that only appear
+    // in the held-out corpus, but the positional convention identifies them;
+    // a slash after the province flags the reversed form ("izmir / torbali")
+    out.collect { case ("IL", s, _) => s }.foreach { s0 =>
+      var k = s0 - 1
+      if (k >= 0 && (tokens(k) == "/" || tokens(k) == "-")) k -= 1
+      if (k >= 0 && nameLike(tokens(k)) && !covered(k) &&
+          !NerOutputs.NotNbhd(tokens(k))) {
+        var j = k
+        if (j > 0 && nameLike(tokens(j - 1)) && !covered(j - 1) &&
+            !tokens(j).startsWith(tokens(j - 1)) &&
+            (j - 1 == 0 || !nameLike(tokens(j - 2))))
+          j -= 1
+        out += (("ILCE", j, k + 1))
+      }
+    }
+    out.collect { case ("IL", _, e) => e }.foreach { e0 =>
+      if (e0 < T && tokens(e0) == "/" && e0 + 1 < T && nameLike(tokens(e0 + 1)) &&
+          !covered(e0 + 1) && !NerOutputs.NotNbhd(tokens(e0 + 1)))
+        out += (("ILCE", e0 + 1, e0 + 2))
     }
 
     // --- 3.5 positional bare-MAHALLE: in the Turkish address tail the name
