@@ -40,7 +40,10 @@ object NerOutputs {
   // generator's SITE/BLOK/APARTMAN/BULVAR keyword families
   // (general_config.py:322-331) and the TARIF landmark categories (:388-452).
   val SiteKw: Set[String] = Set(
-    "evleri", "sitesi", "rezidans", "residence", "tower", "plaza", "konutlari")
+    "evleri", "sitesi", "rezidans", "residence", "tower", "plaza", "konutlari",
+    // gold-corpus surface variants: abbreviated "sit", bare "site", plural
+    // "siteler(i)", villa complexes
+    "sit", "site", "siteleri", "siteler", "villalari")
   val BinaAdiKw: Set[String] = Set(
     "blok", "blogu", "apartmani", "apartman", "apt", "apart")
   val BulvarKw: Set[String] = Set("bulvari", "bulvar", "bulv", "blv")
@@ -68,6 +71,10 @@ object NerOutputs {
       // "<org-noun> <district>" names a business, not a neighbourhood
       "birimi", "grubu", "amirligi", "poliklinigi", "bankasi", "ofisi",
       "bolumu", "mudurlugu", "sti", "ltd")
+
+  /** Turkish word numbers one..five — floors and flats are occasionally
+    * written out ("kat bir", "daire bir"). */
+  private[operators] val WordNum: Set[String] = Set("bir", "iki", "uc", "dort", "bes")
 
   private val FuzzyBinaTargets = Seq("apartmani", "apartman", "apart")
   private[operators] def binaFuzzy(t: String): Boolean =
@@ -197,10 +204,22 @@ object NerOutputs {
         val j = nameStart(i, digitFirst = false, nameWalk)
         if (j < i) out += (("BULVAR", j, i + 1))
       }
-      // site/residence: name + keyword (F2J SITE_ADI family)
+      // site/residence: name + keyword (F2J SITE_ADI family). Adjacent
+      // keywords chain into ONE span ("koyici evleri sitesi"); names may
+      // carry digits ("oguzhan 1 sitesi", "4 etap sitesi"); the walk stops
+      // at road-context words ("yolu uzeri alp sahil evleri" starts at
+      // "alp"); a bare defective "sitesi" with no claimable name stands
       if (NerOutputs.SiteKw(t)) {
-        val j = nameStart(i, digitFirst = false, nameWalk)
-        if (j < i) out += (("SITE_ADI", j, i + 1))
+        val adjacent = out.indexWhere { case (tp, _, e) => tp == "SITE_ADI" && e == i }
+        if (adjacent >= 0) {
+          val (tp, s0, _) = out(adjacent)
+          out(adjacent) = (tp, s0, i + 1)
+        } else {
+          val j = nameStart(i, digitFirst = true, nameWalk, digitsInWalk = true,
+            walkStop = w => w == "yolu" || w == "uzeri")
+          if (j < i) out += (("SITE_ADI", j, i + 1))
+          else if (t == "sitesi" && !covered(i)) out += (("SITE_ADI", i, i + 1))
+        }
       }
       // building name: blok/apartman keywords (exact, or edit-distance-1 for
       // the long apartman forms — "aprtmani", "apat" are the gold corpora's
@@ -244,25 +263,54 @@ object NerOutputs {
       // erkek ogrenci yurdu"), so the walk cap is 5, not nameWalk. Adjacent
       // anchors extend the same span ("olgun market karsisi" is ONE TARIF).
       if (tarifAnchors(t)) {
+        // landmark names run past their head noun ("devlet hastanesi evde
+        // bakim birimi", "universitesi rektorlugu") — extend RIGHT over free
+        // name tokens, but never absorb a token that belongs to the NEXT
+        // keyword-anchored name ("hastanesi istiklal mah" keeps "istiklal")
+        def extendRight(e0: Int): Int = {
+          var e = e0
+          var steps = 0
+          def nextIsAnchor(k: Int): Boolean = k + 1 < T &&
+            (tokens(k + 1) == "mah" || tokens(k + 1) == "sk" ||
+              tokens(k + 1) == "cad" || NerOutputs.BulvarKw(tokens(k + 1)) ||
+              NerOutputs.SiteKw(tokens(k + 1)) || NerOutputs.BinaAdiKw(tokens(k + 1)))
+          while (steps < 4 && e < T && nameLike(tokens(e)) && !covered(e) &&
+              !adminCovered(e) && !nextIsAnchor(e)) {
+            e += 1; steps += 1
+          }
+          e
+        }
         val adjacent = out.indexWhere { case (tp, _, e) => tp == "TARIF" && e == i }
         if (adjacent >= 0) {
           val (tp, s0, _) = out(adjacent)
-          out(adjacent) = (tp, s0, i + 1)
+          out(adjacent) = (tp, s0, extendRight(i + 1))
         } else {
           val j = nameStart(i, digitFirst = false, cap = 5)
-          if (j < i) out += (("TARIF", j, i + 1))
+          if (j < i) out += (("TARIF", j, extendRight(i + 1)))
         }
       }
-      // floor: "3 kat" / "zemin kat" (number-first, the reference's floor
-      // template 0) and "kat : 3" / "kat 3" / "k : 3" / "k 6" (keyword-first)
+      // floor: "3 kat" / "zemin kat" / "giris kat" / "en ust kat"
+      // (number/word-first, the reference's floor template 0) and "kat : 3"
+      // / "kat 3" / "k : 3" / "k 6" / "kat / 2" / "kat - 1" (keyword-first,
+      // with word numbers "kat bir"); a dangling "kat" or "kat :" with the
+      // number dropped is still tagged, as is the "k" of a bare "k d" pair
       if (t == "kat" && i > 0 && !covered(i) && !covered(i - 1) &&
           ((digits(tokens(i - 1)) && tokens(i - 1).length <= 2) ||
-            tokens(i - 1) == "zemin"))
-        out += (("KAT", i - 1, i + 1))
-      else if ((t == "kat" || t == "k") && i + 1 < T && !covered(i)) {
-        val j = if (tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
-        if (j < T && digits(tokens(j)) && tokens(j).length <= 3)
+            tokens(i - 1) == "zemin" || tokens(i - 1) == "giris" ||
+            tokens(i - 1) == "ust")) {
+        val s0 = if (tokens(i - 1) == "ust" && i > 1 && tokens(i - 2) == "en" &&
+          !covered(i - 2)) i - 2 else i - 1
+        out += (("KAT", s0, i + 1))
+      } else if ((t == "kat" || t == "k") && i + 1 < T && !covered(i)) {
+        val j = if ((tokens(i + 1) == ":" || tokens(i + 1) == "/" ||
+          tokens(i + 1) == "-") && i + 2 < T) i + 2 else i + 1
+        if (j < T && ((digits(tokens(j)) && tokens(j).length <= 3) ||
+            NerOutputs.WordNum(tokens(j))))
           out += (("KAT", i, j + 1))
+        else if (t == "kat")
+          out += (("KAT", i, if (tokens(i + 1) == ":") i + 2 else i + 1))
+        else if (tokens(i + 1) == "d")
+          out += (("KAT", i, i + 1))
       }
       // flat: "daire [no] [:|/] 5" / "d : 5" / "d 7" / "oda 401"; a trailing
       // single letter joins ("daire 9 c"); a bare defective "daire"/"d" with
@@ -272,7 +320,8 @@ object NerOutputs {
         var j = i + 1
         if (t == "daire" && j < T && tokens(j) == "no") j += 1
         if (j < T && (tokens(j) == ":" || tokens(j) == "/")) j += 1
-        if (j < T && digits(tokens(j)) && tokens(j).length <= 3) {
+        if (j < T && ((digits(tokens(j)) && tokens(j).length <= 3) ||
+            NerOutputs.WordNum(tokens(j)))) {
           val e = if (j + 1 < T && tokens(j + 1).length == 1 &&
             tokens(j + 1).charAt(0).isLetter && !covered(j + 1) &&
             (j + 2 >= T || (tokens(j + 2) != ":" && !digits(tokens(j + 2))))) j + 2 else j + 1
