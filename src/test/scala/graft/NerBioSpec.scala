@@ -43,6 +43,65 @@ class NerBioSpec extends AnyFunSuite {
     assert(NerOutputs.entitiesJson(ents).startsWith("[{\"type\""))
   }
 
+  test("round-3b surface forms: numeric decision table, positional admin, floors") {
+    def sp(text: String): Seq[(String, String)] = {
+      val toks = text.split(" ")
+      NerOutputs.spans(toks, idx).map { case (t, s, e) =>
+        t -> toks.slice(s, e).mkString(" ") }
+    }
+    // letter slash-suffix joins the keyword building number; digit stays flat
+    assert(sp("yali cad no 9 / d").contains("BINA_NO" -> "no 9 / d"))
+    assert(sp("yali cad no : 6 / 3").contains("BINA_NO" -> "no : 6"))
+    assert(sp("yali cad no : 6 / 3").contains("DAIRE_NO" -> "/ 3"))
+    // bina/n/numara keyword family; bare defective forms
+    assert(sp("sema cad bina no : 19 daire no : 2").contains("BINA_NO" -> "bina no : 19"))
+    assert(sp("guzel sk n : 5").contains("BINA_NO" -> "n : 5"))
+    assert(sp("orhan sk no daire 1").contains("BINA_NO" -> "no"))
+    assert(sp("nokta sk no / 5").contains("BINA_NO" -> "no / 5"))
+    // slashed numeric street names are ONE span; digit-led names complete
+    assert(sp("dere mah 367 / 2 sk no 4").contains("SOKAK" -> "367 / 2 sk"))
+    assert(sp("girne 2103 sk no 16").contains("SOKAK" -> "2103 sk"))
+    assert(sp("cumhur mah 30 agustos sk").contains("SOKAK" -> "30 agustos sk"))
+    // floor family incl. dangling forms — measured F1 1.0 on the corpora
+    assert(sp("apak apartmani kat - 1").contains("KAT" -> "kat - 1"))
+    assert(sp("apak apartmani giris kat").contains("KAT" -> "giris kat"))
+    assert(sp("cam sitesi kat : daire : 35").contains("KAT" -> "kat :"))
+    assert(sp("cam sitesi k 6 d 17").contains("KAT" -> "k 6"))
+    assert(sp("cam sitesi k 6 d 17").contains("DAIRE_NO" -> "d 17"))
+    // date-named neighbourhood crosses the digit
+    assert(sp("16 eylul mah inkilap cad 3").contains("MAHALLE" -> "16 eylul mah"))
+    // single-letter blok label claims exactly "<x> blok"
+    assert(sp("gultekin best a blok kat 2").contains("BINA_ADI" -> "a blok"))
+    // apartman typo fuzz (edit distance 1)
+    assert(sp("gul aprtmani no 4").contains("BINA_ADI" -> "gul aprtmani"))
+    // adjacent site keywords chain
+    assert(sp("koyici evleri sitesi no 3").contains("SITE_ADI" -> "koyici evleri sitesi"))
+  }
+
+  test("spans: adversarial fuzz never throws and always yields well-formed spans") {
+    // the extractor runs inside a mapPartitions kernel at 10^12-page scale —
+    // ONE unguarded index on a weird token sequence fails a whole task. Fuzz
+    // with keyword-dense random sequences including every boundary shape.
+    val vocab = Array("mah", "cad", "sk", "no", "kat", "daire", "d", "k", ":",
+      "/", "-", "(", ")", "bina", "blok", "sitesi", "evleri", "sit", "n",
+      "oda", "numara", "apartmani", "izmir", "bornova", "5", "12", "34710",
+      "367", "a", "b", "guzel", "yali", "bir", "zemin", "giris", "ust", "en",
+      "karsisi", "yani", "bulvari", "")
+    val rnd = new scala.util.Random(20260816)
+    (1 to 4000).foreach { _ =>
+      val n = rnd.nextInt(14)
+      val toks = Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val sps = NerOutputs.spans(toks, idx) // must not throw
+      sps.foreach { case (tpe, s, e) =>
+        assert(s >= 0 && e <= toks.length && s < e,
+          s"malformed span ($tpe,$s,$e) on [${toks.mkString(" ")}]")
+      }
+      // BIO projection and entity aggregation stay in bounds too
+      NerOutputs.spansToBio(toks.length, sps)
+      NerOutputs.aggregateEntities(toks, sps)
+    }
+  }
+
   test("NER batch operator over pages + CSV roundtrip") {
     val pages = Pages.synthesize(spark, 120).toDF()
     val prep = Linkage.extract(pages)
