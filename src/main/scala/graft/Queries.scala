@@ -128,6 +128,16 @@ object Queries {
         soundex(regexp_replace(col("c_name"), "[^A-Za-z]", "")).as("sdx"))
         .orderBy("c_custkey")
     }),
+    // classic Metaphone as a native codegen expression — the alternate
+    // phonetic block-key family the north star names (no DuckDB metaphone,
+    // so rows-only; MetaphoneSpec pins the classic-algorithm goldens)
+    "q_metaphone" -> ((s, dir) => {
+      implicit val sp = s
+      t(dir, "customer").select(col("c_custkey"),
+        graft.functions.MetaphoneUtil.metaphoneCol(
+          regexp_replace(col("c_name"), "[^A-Za-z]", "")).as("mph"))
+        .orderBy("c_custkey")
+    }),
 
     // --- relational core: agg / having / window / join / set / sort-limit ---
     "q_agg_lineitem" -> ((s, dir) => {
