@@ -21,16 +21,14 @@ object GoldDump {
 
   /** Driver-side FN/FP listing for one type (corpora are 3 tiny files). */
   private def missReport(tpe: String): Unit = {
-    import graft.operators.{GoldEval, NerOutputs, StaticParser}
+    import graft.operators.{GoldEval, NerOutputs}
     import graft.sources.Gazetteer
     val paths = GoldEval.DefaultPaths
     val byCorpus = paths.zipWithIndex.map { case (p, i) => (p, GoldEval.readGold(p, i)) }
     var fn = 0; var fp = 0; var tp = 0
     byCorpus.foreach { case (path, sents) =>
-      val otherSents = byCorpus.collect { case (p, ss) if p != path => ss }.flatten
-      val rows = Gazetteer.rows ++ GoldEval.mineRowsFromSents(otherSents)
-      val anchors = GoldEval.mineTarifAnchorsFromSents(otherSents)
-      val idx = graft.sources.Gazetteer.buildIndex(rows)
+      val (rows, anchors) = GoldEval.minedFor(byCorpus, path)
+      val idx = Gazetteer.buildIndex(rows)
       sents.foreach { case (sid, toks, tags) =>
         val canon = toks.map(GoldEval.canonToken)
         val pred = NerOutputs.spans(canon, idx, tarifAnchors = anchors)

@@ -230,6 +230,21 @@ object GoldEval {
       .orderBy("corpus")
   }
 
+  /** The leave-one-corpus-out mining bundle for predicting `path`:
+    * (gazetteer rows, TARIF anchors) harvested from every OTHER corpus in
+    * `byCorpus` — the ONE place the held-out protocol is implemented, shared
+    * by [[evaluate]]/[[confusion]] and the `GoldDump miss` diagnostic. */
+  def minedFor(byCorpus: Seq[(String, Seq[(Long, Array[String], Array[String])])],
+               path: String, mineCross: Boolean = true): (Seq[graft.sources.GazRow], Set[String]) = {
+    val otherSents = byCorpus.collect { case (p, ss) if p != path => ss }.flatten
+    val rows =
+      if (!mineCross) Gazetteer.rows
+      else Gazetteer.rows ++ mineRowsFromSents(otherSents)
+    val anchors =
+      if (!mineCross) NerOutputs.TarifKw else mineTarifAnchorsFromSents(otherSents)
+    (rows, anchors)
+  }
+
   /** Shared prediction surface for [[evaluate]] and [[confusion]]:
     * (pred spans, gold spans) over all corpora, leave-one-corpus-out mined. */
   private def predictions(spark: SparkSession, paths: Seq[String],
@@ -244,12 +259,7 @@ object GoldEval {
     }.toDF("sent_id", "entity_type", "start", "end")
 
     val preds = byCorpus.map { case (path, sents) =>
-      val otherSents = byCorpus.collect { case (p, ss) if p != path => ss }.flatten
-      val rows =
-        if (!mineCross) Gazetteer.rows
-        else Gazetteer.rows ++ mineRowsFromSents(otherSents)
-      val anchors =
-        if (!mineCross) NerOutputs.TarifKw else mineTarifAnchorsFromSents(otherSents)
+      val (rows, anchors) = minedFor(byCorpus, path, mineCross)
       val idx = StaticParser.broadcastIndex(spark, rows)
       spark.createDataset(sents.map { case (sid, toks, _) => (sid, toks) })
         .mapPartitions { it =>
@@ -276,12 +286,7 @@ object GoldEval {
         .toDF("sent_id", "pos", "gold_type", "pred_type"))
     val byCorpus = paths.zipWithIndex.map { case (p, i) => (p, readGold(p, i)) }
     val tokens = byCorpus.map { case (path, sents) =>
-      val otherSents = byCorpus.collect { case (p, ss) if p != path => ss }.flatten
-      val rows =
-        if (!mineCross) Gazetteer.rows
-        else Gazetteer.rows ++ mineRowsFromSents(otherSents)
-      val anchors =
-        if (!mineCross) NerOutputs.TarifKw else mineTarifAnchorsFromSents(otherSents)
+      val (rows, anchors) = minedFor(byCorpus, path, mineCross)
       val idx = StaticParser.broadcastIndex(spark, rows)
       spark.createDataset(sents.map { case (sid, toks, tags) => (sid, toks, tags) })
         .mapPartitions { it =>

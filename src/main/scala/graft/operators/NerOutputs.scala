@@ -57,15 +57,11 @@ object NerOutputs {
     Set("mah", "cad", "sk", "no", "kat", "daire", "d", ":", "/") ++
       SiteKw ++ BinaAdiKw ++ BulvarKw ++ TarifKw
 
-  /** Edit-distance-1 match against the LONG apartman keyword forms — the
-    * gold corpora's BINA_ADI typo tail ("aprtmani", "apat"). Targets are ≥5
-    * chars and the length gap is bounded first, so the fuzz cannot claim
-    * short or unrelated words. */
   /** Generic tokens that precede a district in business addresses but are
-    * never a neighbourhood name (country, "center", "branch", plural
-    * "sites") — excluded from the positional bare-MAHALLE claim. */
+    * never a neighbourhood name (country, "center", "branch") — excluded
+    * from the positional bare-MAHALLE/ILCE claims. */
   private[operators] val NotNbhd: Set[String] =
-    Set("turkiye", "merkez", "sube", "subesi", "siteler",
+    Set("turkiye", "merkez", "sube", "subesi",
       // closed-class organizational nouns (unit, group, office, branch,
       // department, directorate, bank, clinic) — an address ending
       // "<org-noun> <district>" names a business, not a neighbourhood
@@ -76,9 +72,15 @@ object NerOutputs {
     * written out ("kat bir", "daire bir"). */
   private[operators] val WordNum: Set[String] = Set("bir", "iki", "uc", "dort", "bes")
 
+  /** Edit-distance-1 match against the LONG apartman keyword forms — the
+    * gold corpora's BINA_ADI typo tail ("aprtmani", "apat"). The length gap
+    * is bounded first, and the token must keep the leading "a" — without
+    * that anchor, plain words one deletion away ("part") would be claimed
+    * as building keywords. */
   private val FuzzyBinaTargets = Seq("apartmani", "apartman", "apart")
   private[operators] def binaFuzzy(t: String): Boolean =
-    t.length >= 4 && t.forall(_.isLetter) && !BinaAdiKw(t) &&
+    t.length >= 4 && t.startsWith("a") && t.forall(_.isLetter) &&
+      !BinaAdiKw(t) &&
       FuzzyBinaTargets.exists(k => math.abs(k.length - t.length) <= 1 &&
         Scoring.levenshtein(k, t) <= 1)
 
@@ -137,6 +139,11 @@ object NerOutputs {
 
     // --- 2. keyword pass ---
     val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    // bare defective markers ("no"/"daire"/"kat" with the number dropped)
+    // are a gold-corpus convention for ADDRESS text; tracked so a sentence
+    // whose ONLY spans are bare markers (generic prose: "no parking
+    // available") yields nothing instead of tagging every stray keyword
+    val bare = scala.collection.mutable.Set[(String, Int, Int)]()
     def covered(k: Int): Boolean = out.exists { case (_, s, e) => s <= k && k < e }
     // left boundary of a keyword-anchored name: claim the adjacent token when
     // it is a name or (for street-family anchors) a number ("1004 sokak");
@@ -168,7 +175,7 @@ object NerOutputs {
       val t = tokens(i)
       // postcode: standalone 5-digit token — but NOT a numeric street name
       // ("10158 sk" is SOKAK; izmir street names are 5-digit)
-      if (t.length == 5 && digits(t) &&
+      if (t.length == 5 && digits(t) && !covered(i) &&
           !(i + 1 < T && (tokens(i + 1) == "sk" || tokens(i + 1) == "cad")))
         out += (("POSTA_KODU", i, i + 1))
       // neighbourhood: name + canonical keyword — the dominant gold surface
@@ -301,16 +308,21 @@ object NerOutputs {
         val s0 = if (tokens(i - 1) == "ust" && i > 1 && tokens(i - 2) == "en" &&
           !covered(i - 2)) i - 2 else i - 1
         out += (("KAT", s0, i + 1))
-      } else if ((t == "kat" || t == "k") && i + 1 < T && !covered(i)) {
-        val j = if ((tokens(i + 1) == ":" || tokens(i + 1) == "/" ||
+      } else if ((t == "kat" || t == "k") && !covered(i)) {
+        val j = if (i + 1 < T && (tokens(i + 1) == ":" || tokens(i + 1) == "/" ||
           tokens(i + 1) == "-") && i + 2 < T) i + 2 else i + 1
         if (j < T && ((digits(tokens(j)) && tokens(j).length <= 3) ||
             NerOutputs.WordNum(tokens(j))))
           out += (("KAT", i, j + 1))
-        else if (t == "kat")
-          out += (("KAT", i, if (tokens(i + 1) == ":") i + 2 else i + 1))
-        else if (tokens(i + 1) == "d")
-          out += (("KAT", i, i + 1))
+        else if (t == "kat") {
+          // dangling form, sentence-final included ("... apartmani kat")
+          val sp = ("KAT", i,
+            if (i + 1 < T && tokens(i + 1) == ":") i + 2 else i + 1)
+          out += sp; bare += sp
+        } else if (i + 1 < T && tokens(i + 1) == "d") {
+          val sp = ("KAT", i, i + 1)
+          out += sp; bare += sp
+        }
       }
       // flat: "daire [no] [:|/] 5" / "d : 5" / "d 7" / "oda 401"; a trailing
       // single letter joins ("daire 9 c"); a bare defective "daire"/"d" with
@@ -324,18 +336,23 @@ object NerOutputs {
             NerOutputs.WordNum(tokens(j)))) {
           val e = if (j + 1 < T && tokens(j + 1).length == 1 &&
             tokens(j + 1).charAt(0).isLetter && !covered(j + 1) &&
-            (j + 2 >= T || (tokens(j + 2) != ":" && !digits(tokens(j + 2))))) j + 2 else j + 1
+            (j + 2 >= T || (tokens(j + 2) != ":" && tokens(j + 2) != "blok" &&
+              !digits(tokens(j + 2))))) j + 2 else j + 1
           out += (("DAIRE_NO", i, e))
         } else if (t == "daire" &&
-            (j >= T || (!digits(tokens(j)) && tokens(j) != "blok")))
-          out += (("DAIRE_NO", i, i + 1))
+            (j >= T || (!digits(tokens(j)) && tokens(j) != "blok"))) {
+          val sp = ("DAIRE_NO", i, i + 1)
+          out += sp; bare += sp
+        }
       }
       // bare dangling "d" (defective flat marker: "kat 1 d gulkent") — not
       // a blok label, not a keyword form, nothing to attach to
       if (t == "d" && !covered(i) &&
           (i + 1 >= T || (!digits(tokens(i + 1)) && tokens(i + 1) != ":" &&
-            tokens(i + 1) != "blok")))
-        out += (("DAIRE_NO", i, i + 1))
+            tokens(i + 1) != "blok"))) {
+        val sp = ("DAIRE_NO", i, i + 1)
+        out += sp; bare += sp
+      }
       // flat, slash form: "12 / 3" — gold tags "/ 3" as the DAIRE_NO span.
       // NOT when the slashed pair is a street name ("367 / 2 sk"); and when
       // the left digits were claimed by a KEYWORD building number, the
@@ -369,21 +386,25 @@ object NerOutputs {
         if (j < T && digits(tokens(j)) && tokens(j).length <= 4) {
           val e = if (j + 1 < T && tokens(j + 1).length == 1 &&
             tokens(j + 1).charAt(0).isLetter && !covered(j + 1) &&
-            (j + 2 >= T || (tokens(j + 2) != ":" && !digits(tokens(j + 2))))) j + 2 else j + 1
+            (j + 2 >= T || (tokens(j + 2) != ":" && tokens(j + 2) != "blok" &&
+              !digits(tokens(j + 2))))) j + 2 else j + 1
           out += (("BINA_NO", s0, e))
         } else if (t == "no") {
           if (i + 1 < T && (tokens(i + 1) == "/" || tokens(i + 1) == "-") &&
-              i + 2 < T && (digits(tokens(i + 2)) || tokens(i + 2).length == 1))
+              i + 2 < T && ((digits(tokens(i + 2)) && tokens(i + 2).length <= 4) ||
+                tokens(i + 2).length == 1))
             out += (("BINA_NO", i, i + 3))
-          else if (i + 1 >= T || tokens(i + 1) != ":")
-            out += (("BINA_NO", i, i + 1))
+          else if (i + 1 >= T || tokens(i + 1) != ":") {
+            val sp = ("BINA_NO", i, i + 1)
+            out += sp; bare += sp
+          }
         }
       }
       // keyword-first "bina : 7 [/ 12]" (no "no"): the whole run is the span
       if (t == "bina" && !covered(i) && i + 1 < T && tokens(i + 1) == ":" &&
-          i + 2 < T && digits(tokens(i + 2))) {
-        val e = if (i + 4 < T && tokens(i + 3) == "/" && digits(tokens(i + 4)))
-          i + 5 else i + 3
+          i + 2 < T && digits(tokens(i + 2)) && tokens(i + 2).length <= 4) {
+        val e = if (i + 4 < T && tokens(i + 3) == "/" &&
+          digits(tokens(i + 4)) && tokens(i + 4).length <= 3) i + 5 else i + 3
         out += (("BINA_NO", i, e))
       }
       // naked street-number: "<sk|sitesi|blok> 10 / 3" — the number after a
@@ -496,6 +517,7 @@ object NerOutputs {
           }
         }
     }
+    if (out.forall(bare)) out.clear() // bare markers need address context
     out.toSeq.sortBy(_._2)
   }
 

@@ -298,8 +298,8 @@ class NerBioSpec extends AnyFunSuite {
     // round-3: leave-one-corpus-out name mining + keyword-first evidence
     // order (nameWalk=4) + TARIF head-noun anchors + all-occurrence admin
     // spans + positional bare-MAHALLE/ILCE + dictionary ILCE sweep + the
-    // numeric-form decision table (no/bina/daire/kat/slash) measured 0.8770
-    // micro F1 (P .915 / R .842) — above the reference's fine-tuned BERT
+    // numeric-form decision table (no/bina/daire/kat/slash) measured 0.8842
+    // micro F1 (P .918 / R .852) — above the reference's fine-tuned BERT
     // (0.7492 on a 20-sample slice). Deterministic pipeline; the gate sits
     // just under the measured value.
     assert(micro._3 >= 0.87, f"gold micro F1 ${micro._3}%.4f regressed")
@@ -310,7 +310,7 @@ class NerBioSpec extends AnyFunSuite {
       .select("corpus", "n_gold", "f1").as[(Int, Long, Double)].collect()
     byCorpus.foreach(r => info(s"held-out corpus ${r._1}: n_gold=${r._2} f1=${r._3}"))
     byCorpus.filter(_._2 >= 100).foreach { case (c, _, f1) =>
-      assert(f1 >= 0.85, s"held-out corpus $c micro F1 $f1") // measured .866/.895
+      assert(f1 >= 0.85, s"held-out corpus $c micro F1 $f1") // measured .874/.900
     }
     prf.unpersist()
 
