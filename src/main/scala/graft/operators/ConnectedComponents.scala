@@ -191,7 +191,9 @@ object ConnectedComponents {
     * [[runOnStrings]] on the real match graph; general graphs (e.g. LSH
     * band buckets, where one doc joins several buckets) must use [[run]].
     *
-    * @param edges (groupCol, src, dst) string columns
+    * @param edges (groupCol, src, dst) string columns; no self-loops (the
+    *              pair join never emits (x, x) — on a self-loop-only node
+    *              this keeps a singleton where the star iteration drops it)
     * @return (id, component): component = min member string, identical to
     *         [[runOnStrings]] output under the precondition. */
   def runGrouped(edges: DataFrame, groupCol: String): DataFrame = {

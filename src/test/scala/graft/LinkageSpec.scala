@@ -187,6 +187,36 @@ class LinkageSpec extends AnyFunSuite {
     sc.unpersist()
   }
 
+  test("grouped CC equals star CC on randomized block-partitioned graphs") {
+    // the real match graph exercises one shape; random graphs exercise the
+    // precondition's full space — chains, cliques, self-loops, duplicate
+    // and reversed edges, singleton groups — per trial, both clusterers
+    // must produce the identical (id → min-member) map
+    val rnd = new scala.util.Random(20260817)
+    (1 to 3).foreach { trial =>
+      val edges = (0 until 40).flatMap { g =>
+        val n = 1 + rnd.nextInt(8)
+        val nodes = (0 until n).map(k => s"t${trial}_g${g}_n$k")
+        // no self-loops: candidatePairs can never emit (x, x), and the two
+        // clusterers legitimately differ there (union-find keeps a
+        // self-loop-only node as a singleton; the star iteration drops it)
+        val random = (0 until rnd.nextInt(6)).map { _ =>
+          (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))) }
+          .filter { case (a, b) => a != b }
+        val chain = nodes.sliding(2).collect {
+          case Seq(a, b) if rnd.nextBoolean() => (a, b) }.toSeq
+        (chain ++ random).map { case (a, b) => (s"grp$g", a, b) }
+      }
+      val df = edges.toDF("block_key", "src", "dst")
+      val grouped = ConnectedComponents.runGrouped(df, "block_key")
+        .as[(String, String)].collect().toMap
+      val star = ConnectedComponents.runOnStrings(df.select("src", "dst"))
+        .as[(String, String)].collect().toMap
+      assert(grouped == star, s"trial $trial: " +
+        s"${grouped.toSet.diff(star.toSet).take(3)} vs ${star.toSet.diff(grouped.toSet).take(3)}")
+    }
+  }
+
   test("entity ids are urls (no hash-derived ids reach clustering)") {
     val ents = Linkage.entities(pages, StaticParser.broadcastIndex(spark))
     assert(ents.schema("entity_id").dataType.typeName == "string")
