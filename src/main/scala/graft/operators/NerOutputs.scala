@@ -42,8 +42,11 @@ object NerOutputs {
   val SiteKw: Set[String] = Set(
     "evleri", "sitesi", "rezidans", "residence", "tower", "plaza", "konutlari",
     // gold-corpus surface variants: abbreviated "sit", bare "site", plural
-    // "siteler(i)", villa complexes
-    "sit", "site", "siteleri", "siteler", "villalari")
+    // "siteleri", villa complexes. NOT "siteler": that surface is
+    // predominantly a NEIGHBOURHOOD name in the corpora ("siteler mah",
+    // 7 of 10 gold occurrences are MAHALLE) — as a keyword it would both
+    // claim wrong SITE spans and block the mah-anchored walk
+    "sit", "site", "siteleri", "villalari")
   val BinaAdiKw: Set[String] = Set(
     "blok", "blogu", "apartmani", "apartman", "apt", "apart")
   val BulvarKw: Set[String] = Set("bulvari", "bulvar", "bulv", "blv")
