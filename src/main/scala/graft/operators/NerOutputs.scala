@@ -457,20 +457,31 @@ object NerOutputs {
     out.collect { case ("IL", s, _) => s }.foreach { s0 =>
       var k = s0 - 1
       if (k >= 0 && (tokens(k) == "/" || tokens(k) == "-")) k -= 1
+      // single token only — districts are one token in the corpora, and a
+      // longer uncovered run before the province is "<mah-name> <district>"
+      // ("emecik datca mugla"): extending would swallow the neighbourhood
+      // the 3.5 rule claims next
       if (k >= 0 && nameLike(tokens(k)) && !covered(k) &&
-          !NerOutputs.NotNbhd(tokens(k))) {
-        var j = k
-        if (j > 0 && nameLike(tokens(j - 1)) && !covered(j - 1) &&
-            !tokens(j).startsWith(tokens(j - 1)) &&
-            (j - 1 == 0 || !nameLike(tokens(j - 2))))
-          j -= 1
-        out += (("ILCE", j, k + 1))
-      }
+          !NerOutputs.NotNbhd(tokens(k)))
+        out += (("ILCE", k, k + 1))
     }
     out.collect { case ("IL", _, e) => e }.foreach { e0 =>
       if (e0 < T && tokens(e0) == "/" && e0 + 1 < T && nameLike(tokens(e0 + 1)) &&
           !covered(e0 + 1) && !NerOutputs.NotNbhd(tokens(e0 + 1)))
         out += (("ILCE", e0 + 1, e0 + 2))
+    }
+
+    // --- 3.45 a bare name immediately before a NUMERIC-named street or
+    // site span is a place name ("girne 2103 sk", "camikebir 1 gunes
+    // sitesi") — numeric names never take a left walk, so the token is
+    // free, and the corpora tag it MAHALLE
+    out.toSeq.collect {
+      case (tp, s, _) if (tp == "SOKAK" || tp == "CADDE" || tp == "SITE_ADI") &&
+        digits(tokens(s)) => s
+    }.foreach { s0 =>
+      if (s0 > 0 && nameLike(tokens(s0 - 1)) && !covered(s0 - 1) &&
+          !NerOutputs.NotNbhd(tokens(s0 - 1)))
+        out += (("MAHALLE", s0 - 1, s0))
     }
 
     // --- 3.5 positional bare-MAHALLE: in the Turkish address tail the name
