@@ -335,8 +335,14 @@ object NerOutputs {
         var j = i + 1
         if (t == "daire" && j < T && tokens(j) == "no") j += 1
         if (j < T && (tokens(j) == ":" || tokens(j) == "/")) j += 1
+        // value: digits, a word number, or a single letter that is not a
+        // blok label ("daire a", "daire no : z")
+        def letterValue(k: Int): Boolean = tokens(k).length == 1 &&
+          tokens(k).charAt(0).isLetter &&
+          !(k + 1 < T && tokens(k + 1) == "blok")
         if (j < T && ((digits(tokens(j)) && tokens(j).length <= 3) ||
-            NerOutputs.WordNum(tokens(j)))) {
+            NerOutputs.WordNum(tokens(j)) ||
+            (t == "daire" && letterValue(j)))) {
           val e = if (j + 1 < T && tokens(j + 1).length == 1 &&
             tokens(j + 1).charAt(0).isLetter && !covered(j + 1) &&
             (j + 2 >= T || (tokens(j + 2) != ":" && tokens(j + 2) != "blok" &&
@@ -361,7 +367,9 @@ object NerOutputs {
       // the left digits were claimed by a KEYWORD building number, the
       // suffix belongs to it instead ("no 9 / d", "no 43 / 9" are one span)
       if (t == "/" && i > 0 && i + 1 < T && digits(tokens(i - 1)) &&
-          !covered(i) && !covered(i + 1)) {
+          tokens(i - 1).length <= 3 && !covered(i) && !covered(i + 1)) {
+        // a 4-digit left side is a slashed street NAME ("7303 / 42"), the
+        // izmir numbering family — never a building/flat pair
         val nxt = tokens(i + 1)
         val ok = (digits(nxt) && nxt.length <= 3) ||
           (nxt.length == 1 && nxt.charAt(0).isLetter)
