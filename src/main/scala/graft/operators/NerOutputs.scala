@@ -367,9 +367,12 @@ object NerOutputs {
       // the left digits were claimed by a KEYWORD building number, the
       // suffix belongs to it instead ("no 9 / d", "no 43 / 9" are one span)
       if (t == "/" && i > 0 && i + 1 < T && digits(tokens(i - 1)) &&
-          tokens(i - 1).length <= 3 && !covered(i) && !covered(i + 1)) {
-        // a 4-digit left side is a slashed street NAME ("7303 / 42"), the
-        // izmir numbering family — never a building/flat pair
+          (tokens(i - 1).length <= 3 || covered(i - 1)) &&
+          !covered(i) && !covered(i + 1)) {
+        // an UNCOVERED 4-digit left side is a slashed street NAME
+        // ("7303 / 42"), the izmir numbering family — never a building/flat
+        // pair; covered left digits are a keyword-claimed building number
+        // ("no 1234 / 5") whose suffix keeps its usual reading
         val nxt = tokens(i + 1)
         val ok = (digits(nxt) && nxt.length <= 3) ||
           (nxt.length == 1 && nxt.charAt(0).isLetter)

@@ -189,9 +189,10 @@ class LinkageSpec extends AnyFunSuite {
 
   test("grouped CC equals star CC on randomized block-partitioned graphs") {
     // the real match graph exercises one shape; random graphs exercise the
-    // precondition's full space — chains, cliques, self-loops, duplicate
-    // and reversed edges, singleton groups — per trial, both clusterers
-    // must produce the identical (id → min-member) map
+    // precondition's full space — chains, cliques, duplicate and reversed
+    // edges, singleton groups (self-loops are deliberately excluded below:
+    // outside the precondition, the clusterers legitimately differ there) —
+    // per trial, both clusterers must produce the identical map
     val rnd = new scala.util.Random(20260817)
     (1 to 3).foreach { trial =>
       val edges = (0 until 40).flatMap { g =>

@@ -90,6 +90,8 @@ class RefNerDifferentialSpec extends AnyFunSuite {
       // E3: snapped spans slice to whole tokens — char offsets must agree
       val ents = NerOutputs.aggregateEntities(c.tokens.toArray,
         tokenSpans.map { case (sp, s, e) => (sp.label, s, e) })
+      assert(ents.length == c.entities.length,
+        s"E3 entity count drift on <${c.text}>: ${ents.length} vs ${c.entities.length}")
       ents.zip(c.spans.sortBy(_.start)).zip(c.entities).foreach {
         case ((got, sp), want) if sp.snapped =>
           assert((got.entity_type, got.text, got.start, got.end) == want,

@@ -54,14 +54,15 @@ class RefParserDifferentialSpec extends AnyFunSuite {
     assert(rows.length > 70000, s"gazetteer fixture too small: ${rows.length}")
     val idx = Gazetteer.buildIndex(rows)
 
-    val txt = new String(Files.readAllBytes(caseFixture), "UTF-8")
-    val pat = ("""\{"input": "([^"]*)", "province": ("[^"]*"|null), """ +
-      """"district": ("[^"]*"|null), "neighbourhood": ("[^"]*"|null)\}""").r
-    def opt(s: String): Option[String] =
-      if (s == "null") None else Some(s.substring(1, s.length - 1))
-    val cases = pat.findAllMatchIn(txt)
-      .map(m => (m.group(1), opt(m.group(2)), opt(m.group(3)), opt(m.group(4))))
-      .toVector
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(caseFixture))
+    def opt(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      if (n.isNull) None else Some(n.asText())
+    val cases = (0 until root.size()).map { i =>
+      val c = root.get(i)
+      (c.get("input").asText(), opt(c.get("province")),
+        opt(c.get("district")), opt(c.get("neighbourhood")))
+    }.toVector
     assert(cases.length == 2000, s"fixture parse found ${cases.length} cases")
 
     var bad = 0

@@ -13,34 +13,13 @@ import gzip
 import hashlib
 import json
 import random
-import re
+import os
 import sys
-import xml.etree.ElementTree as ET
-import zipfile
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _ref_common import XLSX, read_xlsx_rows, patch_reference_io
 
-import pandas as pd
 
-NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
-XLSX = "/root/reference/data/ptt_data/turkiye_posta_kodlari.xlsx"
 OUT = "src/test/resources/ref_lookup.json"
-
-
-def read_xlsx_rows(path):
-    z = zipfile.ZipFile(path)
-    sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
-    out = []
-    for row in sheet.iter(NS + "row"):
-        vals = {}
-        for c in row.iter(NS + "c"):
-            col = re.match(r"([A-Z]+)", c.get("r")).group(1)
-            if c.get("t") == "inlineStr":
-                t = c.find(f"{NS}is/{NS}t")
-                vals[col] = "" if t is None or t.text is None else t.text
-            else:
-                v = c.find(f"{NS}v")
-                vals[col] = "" if v is None or v.text is None else v.text
-        out.append([vals.get(k, "") for k in "ABCDE"])
-    return out
 
 
 def digest(names):
@@ -55,10 +34,7 @@ def digest(names):
 
 def main():
     rows = read_xlsx_rows(XLSX)
-    pd.read_excel = lambda path, header=None: pd.DataFrame(rows)
-    sys.path.insert(0, "/root/reference")
-    import data.ptt_data.map as refmap
-    refmap.Turkey._write_cache = lambda *a, **k: None
+    refmap = patch_reference_io(rows)
     tr = refmap.Turkey.load(XLSX)
 
     rnd = random.Random(20260817)
