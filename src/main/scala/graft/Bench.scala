@@ -58,7 +58,9 @@ object Bench {
             try {
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               val sec = (System.nanoTime() - t0) / 1e9
-              if (r == 0) first = sec
+              // first *successful* run (round-3 ADVICE: a transient failure
+              // on run 0 must not zero the first-run record)
+              if (first == 0.0) first = sec
               best = math.min(best, sec)
             } catch {
               case e: Throwable =>
@@ -83,16 +85,35 @@ object Bench {
     // succeeded at least once but also had a failing run — timing kept
     val flaky = results.collect { case (n, Some(_), _, Some(m)) => n -> m }
 
-    // north-rule throughput: pages through the pair join + scoring per sec.
-    // Uses the FIRST q_scored_pairs run — the catalog memoizes the scored
-    // pipeline, so later runs read the persisted result and would report
-    // cache-read throughput, not pipeline throughput. (The prepared stage is
-    // warmed by earlier headline queries; the dedicated Scaling main measures
-    // the full cold path and is the official scaling record.)
+    // North-rule throughput: pages through the FULL cold scored pipeline
+    // (synthesize→extract→normalize→block→pair→score) per second. The
+    // round-3 official record was one unprotected first-run sample; a single
+    // contended window turned it into a phantom 7.7× "regression" (r3
+    // verdict). Now: a dedicated pass of `coldRuns` fully-cold samples —
+    // pipeline memo + dedup caches dropped before each, so every sample pays
+    // the whole path — official number = best sample (sheds contention
+    // spikes, the same rationale as best-of-N per query), all samples
+    // recorded in the JSON so a noisy window is visible instead of silent.
     val nPages = Queries.pagesFor(sfDir)
-    val pagesPerSec = results.collectFirst {
-      case ("q_scored_pairs", Some(_), firstSec, _) if firstSec > 0 => nPages / firstSec
-    }.getOrElse(0.0)
+    val coldRunsN = sys.env.getOrElse("SPARK_GRAFT_COLD_RUNS", "3").toInt
+    val coldSamples: Seq[Double] = SparkEntry.queries.get("q_scored_pairs")
+      .map { fn =>
+        (1 to coldRunsN).flatMap { i =>
+          Queries.resetPipelineCache(spark)
+          graft.operators.Dedup.releaseCaches(spark)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] cold run $i failed: ${e.getMessage}")
+              None
+          }
+        }
+      }.getOrElse(Seq.empty)
+    val pagesPerSec = if (coldSamples.nonEmpty) nPages / coldSamples.min else 0.0
+    val coldJson = coldSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
 
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
@@ -101,7 +122,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"flaky":$fl,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"runs_per_query":$runs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"flaky":$fl,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"cold_pipeline_secs":$coldJson,"runs_per_query":$runs}"""
     println(json)
     // sentinel line so the driver's parser finds the record in sbt log noise
     // ("parsed": null in BENCH_r01/r02) regardless of surrounding output

@@ -61,6 +61,18 @@ object Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Drop the memoized prepared/scored pipeline for `s` and unpersist its
+    * cache blocks. Bench's cold-throughput pass calls this before each
+    * sample so every run pays the full synthesize→extract→normalize→block→
+    * pair→score path (the memo would otherwise turn samples 2+ into
+    * cache-read measurements). */
+  def resetPipelineCache(s: SparkSession): Unit = {
+    evictStopped()
+    Seq(prepCache, scoredCache).foreach { c =>
+      c.keys.filter(_._1 eq s).foreach(k => c.remove(k).foreach(_.unpersist(false)))
+    }
+  }
+
   /** Fixed classifier fixture: one address per class A–J (all single-spaced,
     * so the oracle's space-anchored Turkish-keyword patterns are exact).
     * Declared BEFORE impls/oracles — both capture it at object init. */

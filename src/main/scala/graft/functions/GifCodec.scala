@@ -153,7 +153,12 @@ object GifCodec {
       val c = read()
       if (c == eoi) done = true
       else if (c == clear) { reset(); prev = null }
-      else {
+      else if (dict(c) == null && prev == null) {
+        // undefined code with no previous entry: only reachable on corrupt
+        // streams (first code after a clear must be a literal) — the KwKwK
+        // branch below would dereference prev. Treat as end-of-stream.
+        done = true
+      } else {
         val entry: Array[Byte] =
           if (dict(c) != null) dict(c)
           else prev :+ prev(0) // the KwKwK case

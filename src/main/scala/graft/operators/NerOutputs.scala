@@ -613,15 +613,41 @@ object NerOutputs {
 
   /** E7/E8: the reference's batch-CLI shape — CSV in, predictions appended as
     * new columns, CSV out (chunked read → partitions; incremental append →
-    * distributed write). */
+    * distributed write).
+    *
+    * Single-pass kernel: each row carries its own prediction columns out of
+    * the same `mapPartitions` call that computed them, so row↔prediction
+    * alignment is structural. The previous shape joined two plan branches on
+    * `monotonically_increasing_id`, whose values only coincided because
+    * file-scan partition layout is deterministic — speculative execution or
+    * an AQE re-plan could renumber one side and silently mis-join (round-3
+    * verdict item 3). CSV rows have no natural key, so no join key is safe;
+    * not joining is. */
   def runCsv(spark: SparkSession, inCsv: String, outCsv: String, textCol: String,
-             bIdx: Broadcast[Gazetteer.Index]): Unit = {
+             bIdx: Broadcast[Gazetteer.Index], batchSize: Int = 32): Unit = {
     val in = spark.read.option("header", "true").csv(inCsv)
-      .withColumn("__url", monotonically_increasing_id().cast("string"))
-      .withColumn("__norm", graft.functions.TrNormalize.static(col(textCol)))
-    val preds = process(in, "__url", "__norm", bIdx).toDF()
-      .withColumnRenamed("url", "__url").drop("norm")
-    in.join(preds, "__url").drop("__url", "__norm")
-      .write.option("header", "true").mode("overwrite").csv(outCsv)
+    val withNorm = in.withColumn("__norm", graft.functions.TrNormalize.static(col(textCol)))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields ++ Seq("pred_tags", "entities_json", "entities_flat")
+        .map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withNorm.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val idx = bIdx.value
+        batch.map { r =>
+          val norm = r.getAs[String]("__norm")
+          val tokens = if (norm == null) Array.empty[String]
+                       else norm.split(" ").filter(_.nonEmpty)
+          val sps = spans(tokens, idx)
+          val ents = aggregateEntities(tokens, sps)
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.dropRight(1) ++ Seq( // drop __norm (last projected col)
+              spansToBio(tokens.length, sps).mkString(" "),
+              entitiesJson(ents),
+              joinEntitiesFlat(ents)))
+        }
+      }
+    }(enc).write.option("header", "true").mode("overwrite").csv(outCsv)
   }
 }

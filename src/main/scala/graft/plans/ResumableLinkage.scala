@@ -14,9 +14,19 @@ import graft.sources.Gazetteer
 object ResumableLinkage {
 
   /** Input fingerprint: identifies (pages source, config, code version) —
-    * stages re-run iff any of these change. */
-  def fingerprint(pagesId: String, cfg: Linkage.Config): String =
-    s"$pagesId|t=${cfg.threshold}|mb=${cfg.maxBlock}|${Snapshots.CodeVersion}"
+    * stages re-run iff any of these change. EVERY Config field participates:
+    * a resume under a different phonetic family or extraction pattern must
+    * invalidate committed stages, because block keys / candidate pairs /
+    * extracted spans were all computed under the old value (round-3 ADVICE —
+    * the phonetic field silently matched the old fingerprint). The free-text
+    * regex is md5'd so the fingerprint stays a clean one-liner in manifests. */
+  def fingerprint(pagesId: String, cfg: Linkage.Config): String = {
+    val patHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.extractPattern.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$pagesId|t=${cfg.threshold}|mb=${cfg.maxBlock}|ph=${cfg.phonetic}" +
+      s"|re=$patHash|${Snapshots.CodeVersion}"
+  }
 
   def run(spark: SparkSession, pages: DataFrame, pagesId: String, root: String,
           bIdx: Broadcast[Gazetteer.Index],

@@ -125,6 +125,39 @@ class NerBioSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("url", "address", "pred_tags", "entities_json", "entities_flat"))
   }
 
+  test("runCsv: row↔prediction alignment survives repartition + reorder") {
+    // The round-3 shape joined two plan branches on monotonically_increasing_id,
+    // which only aligned because file-scan layout is deterministic; the kernel
+    // now emits each row's predictions in the same pass. This test scrambles
+    // partitioning and in-partition order, then checks every output row's
+    // predictions against a driver-side recompute from ITS OWN address.
+    val pages = Pages.synthesize(spark, 150).toDF()
+    val bIdx = StaticParser.broadcastIndex(spark)
+    val scrambled = Linkage.extract(pages)
+      .select(col("url"), col("extracted").as("address"))
+      .repartition(7, col("url"))
+      .sortWithinPartitions(desc("address"))
+    val inCsv = Files.createTempDirectory("neralign-in").toString
+    val outCsv = Files.createTempDirectory("neralign-out").toString + "/out"
+    scrambled.write.option("header", "true").mode("overwrite").csv(inCsv)
+    NerOutputs.runCsv(spark, inCsv, outCsv, "address", bIdx)
+    val rows = spark.read.option("header", "true").csv(outCsv).collect()
+    assert(rows.length == 150)
+    val idx = bIdx.value
+    rows.foreach { r =>
+      val addr = r.getAs[String]("address")
+      val norm = TrText.normalizeStaticS(addr)
+      val tokens = if (norm == null) Array.empty[String]
+                   else norm.split(" ").filter(_.nonEmpty)
+      val sps = NerOutputs.spans(tokens, idx)
+      val expected = NerOutputs.entitiesJson(NerOutputs.aggregateEntities(tokens, sps))
+      // CSV round-trips empty strings as null — normalize both sides
+      def nz(s: String) = Option(s).getOrElse("")
+      assert(nz(r.getAs[String]("entities_json")) == nz(expected),
+        s"prediction misaligned for url=${r.getAs[String]("url")}")
+    }
+  }
+
   test("BIO synthesis: deterministic, tag-consistent, CoNLL roundtrip") {
     val ds = Bio.synthesize(spark, 200).persist()
     val rows = ds.collect()
