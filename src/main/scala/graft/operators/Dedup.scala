@@ -128,6 +128,16 @@ object Dedup {
     * work — measured 140 s vs ~4 s on the sf0.1 corpus). */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
     val safe = when(size(shingleCol) === 0, array(lit(""))).otherwise(shingleCol)
+    graft.functions.MinHashUtil.minhashSig(safe, numHashes)
+  }
+
+  /** The pure-Column formulation [[minhashSignature]] replaced: 64 interpreted
+    * higher-order `transform` traversals per row, each re-hashing every
+    * shingle's bytes. Kept ONLY as the independent witness for the native
+    * expression's equality property test (DedupSpec) — never call it in a
+    * pipeline. */
+  private[graft] def minhashSignatureColumns(shingleCol: Column, numHashes: Int): Column = {
+    val safe = when(size(shingleCol) === 0, array(lit(""))).otherwise(shingleCol)
     array((0 until numHashes).map { i =>
       array_min(transform(safe, s => hash(s, lit(i)).cast("long")))
     }: _*)
@@ -302,8 +312,15 @@ object Dedup {
 
   /** Random-hyperplane signature: bit p of the result is the sign of the
     * projection of `v` onto deterministic hyperplane p (plane weights are
-    * ±1 from a hash of (plane, dim) — no RNG state, reproducible anywhere). */
+    * ±1 from a hash of (plane, dim) — no RNG state, reproducible anywhere).
+    * Native codegen'd expression; see [[graft.functions.HyperplaneSig]]. */
   def hyperplaneSignature(v: Column, planes: Int): Column =
+    graft.functions.HyperplaneUtil.hyperplaneSig(v, planes)
+
+  /** The nested-HOF formulation [[hyperplaneSignature]] replaced — kept ONLY
+    * as the independent witness for the native expression's equality property
+    * test (PipelineOpsSpec); never call it in a pipeline. */
+  private[graft] def hyperplaneSignatureColumns(v: Column, planes: Int): Column =
     aggregate(
       sequence(lit(0), lit(planes - 1)), lit(0L),
       (acc, p) => {

@@ -65,6 +65,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bow.filter(col("doc_id") =!= col("rep_id")).count() >= 3)
   }
 
+  test("native minhash signature ≡ Column formulation (value-identical)") {
+    // The native MinHashSig expression must produce EXACTLY the signatures
+    // the interpreted array/transform/hash construction produced (band
+    // buckets — and therefore candidate pairs — depend on every bit). Run
+    // both over real document shingles plus edge shapes: empty text, single
+    // token, repeated shingles, unicode.
+    import graft.functions.TextFunctions
+    val edge = Seq((900001L, ""), (900002L, "tek"), (900003L, "a a a a a"),
+      (900004L, "çiğdem ölüdeniz ğüşİı"), (900005L, "  "))
+      .toDF("doc_id", "text")
+    val both = docs.select("doc_id", "text").limit(200).union(edge)
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+      .select(
+        Dedup.minhashSignature(col("sh"), 64).as("native"),
+        Dedup.minhashSignatureColumns(col("sh"), 64).as("column"))
+    assert(both.filter(not(col("native") === col("column"))).count() == 0)
+    // and the non-default width used nowhere else (guards the loop bounds)
+    val w8 = docs.select("text").limit(50)
+      .select(array_distinct(TextFunctions.shingles(col("text"), 2)).as("sh"))
+      .select(Dedup.minhashSignature(col("sh"), 8).as("n"),
+        Dedup.minhashSignatureColumns(col("sh"), 8).as("c"))
+    assert(w8.filter(not(col("n") === col("c"))).count() == 0)
+  }
+
+  test("native hyperplane signature ≡ Column formulation (value-identical)") {
+    // Bucket membership depends on every bit, so the native HyperplaneSig
+    // must reproduce the HOF construction exactly: float→double promotion,
+    // left-to-right sum order, sign convention. Real embeddings plus edge
+    // vectors (all-zero → every proj 0, no bit set; single-dim; negatives).
+    val edge = Seq(
+      (800001L, Array.fill(32)(0.0f)),
+      (800002L, Array(1.0f)),
+      (800003L, Array(-0.5f, 0.25f, -0.125f)))
+      .toDF("vec_id", "embedding")
+    val both = emb.select("vec_id", "embedding").limit(200)
+      .union(edge)
+      .select(
+        Dedup.hyperplaneSignature(col("embedding"), 24).as("native"),
+        Dedup.hyperplaneSignatureColumns(col("embedding"), 24).as("column"))
+    assert(both.filter(not(col("native") <=> col("column"))).count() == 0)
+    // non-default plane count (guards shift/loop bounds up to bit 47)
+    val w48 = emb.select("embedding").limit(50)
+      .select(Dedup.hyperplaneSignature(col("embedding"), 48).as("n"),
+        Dedup.hyperplaneSignatureColumns(col("embedding"), 48).as("c"))
+    assert(w48.filter(not(col("n") <=> col("c"))).count() == 0)
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     // plant: copy 3 docs with one word changed (high shingle overlap)
     val mutated = docs.limit(3)
