@@ -43,12 +43,19 @@ object Similarity {
     * DRIVER over exactly k rows — k is broadcast-sized by definition, and a
     * global `Window.orderBy` here would emit the single-partition WindowExec
     * warning on every bench run for no benefit. */
-  def centroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    val vecType = corpus.schema(corpus.schema.fieldIndex(vecCol)).dataType
-    val top = corpus
-      .select(col(vecCol).as("cvec"), xxhash64(col(idCol)).as("h"))
+  private def centroidSample(corpus: DataFrame, idCol: String, vecCol: String,
+                             k: Int): Array[org.apache.spark.sql.Row] =
+    corpus.select(col(vecCol).as("cvec"), xxhash64(col(idCol)).as("h"))
       .orderBy("h").limit(k).collect()
+
+  /** Centroids as a DataFrame (cell, cvec) — the probe side joins this
+    * broadcast. */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    centroidsFrom(corpus, centroidSample(corpus, idCol, vecCol, k), vecCol)
+
+  private def centroidsFrom(corpus: DataFrame, top: Array[org.apache.spark.sql.Row],
+                            vecCol: String): DataFrame = {
+    val vecType = corpus.schema(corpus.schema.fieldIndex(vecCol)).dataType
     val rows = top.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row(i, r.get(0))
     }
@@ -56,23 +63,48 @@ object Similarity {
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("cvec", vecType)))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    corpus.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Nearest-cell assignment as a pure PROJECTION: the k centroids become a
+    * literal array<struct<cell,cvec>> in the plan and each row folds over it
+    * with an argmax — zero shuffle, zero sort. The previous shape
+    * (crossJoin(16 centroids) + `Window.partitionBy(neighbor_id)`
+    * row_number) shuffled and sorted n·k rows grouped by a per-row-unique
+    * key for what is a per-row reduction — at 10^12 pages that's a full
+    * corpus shuffle for nothing (round-3 verdict item 2). Tie-break matches
+    * the old window ordering (d desc, cell asc): the fold keeps the FIRST
+    * maximum over cells iterated in ascending order (strict `>`).
+    * PlanSpec asserts the optimized plan is Exchange- and Window-free. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.Bridge
+    val vecType = corpus.schema(corpus.schema.fieldIndex(vecCol)).dataType
+    val centArr = array(cents.zipWithIndex.map { case (r, i) =>
+      struct(lit(i).as("cell"),
+        Bridge.column(Literal.create(r.get(0), vecType)).as("cvec"))
+    }: _*)
+    val base = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val scoredArr = transform(centArr,
+      c => struct(cosine(col("vec"), c.getField("cvec")).as("d"),
+        c.getField("cell").as("cell")))
+    // init d = -2.0 < any cosine, so the first real cell always wins once
+    val best = aggregate(scoredArr,
+      struct(lit(-2.0).as("d"), lit(-1).as("cell")),
+      (acc, s) => when(s.getField("d") > acc.getField("d"), s).otherwise(acc))
+    base.withColumn("cell", best.getField("cell"))
   }
 
   /** IVF-style ANN: assign corpus to nearest centroid cell, probe `nprobe`
     * cells per query. Output schema matches [[bruteForceTopK]]. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int = 5, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nCells)
+    val sample = centroidSample(corpus, idCol, vecCol, nCells)
+    val cents = centroidsFrom(corpus, sample, vecCol)
 
-    // assign each corpus vector to its nearest cell (broadcast centroid join)
-    val scoredCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d", cosine(col("vec"), col("cvec")))
-    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("d").desc, col("cell"))
-    val assigned = scoredCells.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("neighbor_id"), col("vec"), col("cell"))
+    // assign each corpus vector to its nearest cell — shuffle-free projection
+    val assigned = assignCells(corpus, idCol, vecCol, sample)
 
     // queries probe their nprobe nearest cells
     val q = corpus.filter(col(idCol).isin(queryIds: _*))

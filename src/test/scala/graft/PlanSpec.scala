@@ -80,6 +80,32 @@ class PlanSpec extends AnyFunSuite {
     bandedJoinInputs(Dedup.simhashPairs(docs, "doc_id", "text"), "text")
   }
 
+  test("IVF cell assignment is a shuffle-free projection (no Exchange/Window)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val sample = graft.operators.Similarity.centroids(emb, "vec_id", "embedding", 16)
+      .orderBy("cell").collect().map(r => org.apache.spark.sql.Row(r.get(1)))
+    val assigned = graft.operators.Similarity.assignCells(emb, "vec_id", "embedding", sample)
+    val p = plan(assigned)
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"assignment stage shuffles or sorts:\n${p.take(1500)}")
+
+    // equality witness: the windowed crossJoin argmax it replaced (round-3
+    // verdict item 2) — same cell per row, same tie-break (d desc, cell asc)
+    val cents = graft.operators.Similarity.centroids(emb, "vec_id", "embedding", 16)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("neighbor_id").orderBy(col("d").desc, col("cell"))
+    val witness = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", graft.operators.Dedup.cosine(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("cell").as("cell_w"))
+    val diff = assigned.select("neighbor_id", "cell")
+      .join(witness, "neighbor_id")
+      .filter(col("cell") =!= col("cell_w")).count()
+    assert(diff == 0, s"$diff rows assigned to a different cell than the windowed argmax")
+  }
+
   test("q_jaro_winkler runs as a native expression (no ScalaUDF in the plan)") {
     val df = SparkEntry.queries("q_jaro_winkler")(spark, sfDir)
     val p = plan(df)
