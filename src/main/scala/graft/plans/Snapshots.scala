@@ -1,8 +1,8 @@
 package graft.plans
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,26 +38,27 @@ object Snapshots {
   case class Manifest(stage: String, snap: Int, fingerprint: String,
                       rows: Long, codeVersion: String, parent: Int)
 
-  private def stageDir(root: String, stage: String) = Paths.get(root, stage)
+  // All metadata I/O goes through [[StateFs]] (Hadoop FileSystem API) so a
+  // state root of hdfs://, s3a://, file://, or a bare local path behaves
+  // identically — java.io.File here would confine resumability to the
+  // driver's local disk (round-3 verdict item: on the multi-executor
+  // cluster the north rule targets, none of this would run).
+  private def stageDir(root: String, stage: String): String =
+    new HPath(root, stage).toString
 
   /** Committed snapshot ids (manifest present), ascending. */
   def committedSnaps(root: String, stage: String): Seq[Int] = {
     val d = stageDir(root, stage)
-    if (!Files.isDirectory(d)) return Nil
-    val it = Files.list(d).iterator()
-    val out = scala.collection.mutable.ArrayBuffer[Int]()
-    while (it.hasNext) {
-      val p = it.next()
-      val name = p.getFileName.toString
-      if (name.startsWith("snap=") && Files.exists(p.resolve("manifest.json")))
-        out += name.stripPrefix("snap=").toInt
-    }
-    out.sorted.toSeq
+    StateFs.listNames(d)
+      .filter(n => n.startsWith("snap=") && n.stripPrefix("snap=").forall(_.isDigit))
+      .filter(n => StateFs.exists(d, s"$n/manifest.json"))
+      .map(_.stripPrefix("snap=").toInt)
+      .sorted
   }
 
   def readManifest(root: String, stage: String, snap: Int): Manifest = {
-    val txt = new String(Files.readAllBytes(
-      stageDir(root, stage).resolve(s"snap=$snap").resolve("manifest.json")),
+    val txt = new String(
+      StateFs.readBytes(stageDir(root, stage), s"snap=$snap/manifest.json"),
       StandardCharsets.UTF_8)
     def field(k: String): String =
       (s""""$k"""" + """\s*:\s*("([^"]*)"|[-0-9]+)""").r.findFirstMatchIn(txt)
@@ -72,7 +73,7 @@ object Snapshots {
       .find(s => readManifest(root, stage, s).fingerprint == fingerprint)
 
   def dataPath(root: String, stage: String, snap: Int): String =
-    stageDir(root, stage).resolve(s"snap=$snap").resolve("data").toString
+    new HPath(stageDir(root, stage), s"snap=$snap/data").toString
 
   /** Write `df` as the next snapshot of `stage`: data dir first, manifest
     * last via atomic rename — a crash between the two leaves an ignorable
@@ -80,17 +81,16 @@ object Snapshots {
   def commit(df: DataFrame, root: String, stage: String, fingerprint: String): Int = {
     val snaps = committedSnaps(root, stage)
     val next = snaps.lastOption.getOrElse(-1) + 1
-    val snapDir = stageDir(root, stage).resolve(s"snap=$next")
-    Files.createDirectories(snapDir)
-    df.write.mode("overwrite").parquet(snapDir.resolve("data").toString)
-    val rows = df.sparkSession.read.parquet(snapDir.resolve("data").toString).count()
+    val snapDir = new HPath(stageDir(root, stage), s"snap=$next").toString
+    StateFs.mkdirs(snapDir)
+    val dataDir = new HPath(snapDir, "data").toString
+    df.write.mode("overwrite").parquet(dataDir)
+    val rows = df.sparkSession.read.parquet(dataDir).count()
     val manifest =
       s"""{"stage": "$stage", "snap": $next, "fingerprint": "$fingerprint",
          | "rows": $rows, "codeVersion": "$CodeVersion",
          | "parent": ${snaps.lastOption.getOrElse(-1)}}""".stripMargin
-    val tmp = snapDir.resolve("manifest.json.tmp")
-    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapDir.resolve("manifest.json"), StandardCopyOption.ATOMIC_MOVE)
+    StateFs.publish(snapDir, "manifest.json", manifest.getBytes(StandardCharsets.UTF_8))
     next
   }
 
@@ -102,7 +102,7 @@ object Snapshots {
     import spark.implicits._
     Seq((stage, snap, rowsOut, seconds, partitions))
       .toDF("stage", "snap", "rows_out", "seconds", "partitions")
-      .write.mode("append").parquet(Paths.get(root, "_metrics").toString)
+      .write.mode("append").parquet(new HPath(root, "_metrics").toString)
   }
 
   /** Per-partition lineage of a committed snapshot: one row per data file
@@ -115,20 +115,18 @@ object Snapshots {
       .groupBy(input_file_name().as("file"))
       .agg(cnt(lit(1)).as("rows"))
       .select(lit(stage).as("stage"), lit(snap).as("snap"), col("file"), col("rows"))
-      .write.mode("append").parquet(Paths.get(root, "_lineage").toString)
+      .write.mode("append").parquet(new HPath(root, "_lineage").toString)
   }
 
-  def metrics(spark: SparkSession, root: String): DataFrame = {
-    val p = Paths.get(root, "_metrics")
-    if (Files.isDirectory(p)) spark.read.parquet(p.toString)
+  def metrics(spark: SparkSession, root: String): DataFrame =
+    if (StateFs.exists(root, "_metrics"))
+      spark.read.parquet(new HPath(root, "_metrics").toString)
     else spark.emptyDataFrame
-  }
 
-  def lineage(spark: SparkSession, root: String): DataFrame = {
-    val p = Paths.get(root, "_lineage")
-    if (Files.isDirectory(p)) spark.read.parquet(p.toString)
+  def lineage(spark: SparkSession, root: String): DataFrame =
+    if (StateFs.exists(root, "_lineage"))
+      spark.read.parquet(new HPath(root, "_lineage").toString)
     else spark.emptyDataFrame
-  }
 }
 
 /** Stage-level resumable execution built on [[Snapshots]]. */

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** State-management I/O over the Hadoop `FileSystem` API.
+  *
+  * Snapshots and the incremental-linkage delta state previously listed,
+  * renamed, and deleted through `java.io.File`/`java.nio.Files` — fine on
+  * `local[32]`, dead on the multi-executor cluster the north rule targets
+  * (spark-submit at N and 4N executors), where state lives on HDFS/S3. The
+  * parquet payloads were always FS-agnostic (Spark readers/writers); this
+  * moves the remaining metadata layer (listing, marker files, atomic
+  * publish, recursive delete) onto the same abstraction, so a state root of
+  * `hdfs://…`, `s3a://…`, or a bare local path all behave identically.
+  *
+  * Commit protocol note: `publish` = write to a `.tmp` sibling + rename.
+  * On HDFS and local file systems rename is atomic; on S3A it is a
+  * copy+delete, where the marker-file convention still holds (a reader sees
+  * either no marker or a complete one — the content is written before the
+  * rename starts, and readers never parse `.tmp` names). That is exactly
+  * Iceberg's own commit seam, which swaps in a metastore/catalog swap for
+  * object stores.
+  */
+object StateFs {
+
+  /** Hadoop conf from the active session when there is one (so `fs.*`
+    * settings and credentials apply), else a vanilla Configuration. */
+  private def conf: Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def exists(dir: String, name: String): Boolean = {
+    val p = new Path(dir, name)
+    fs(p).exists(p)
+  }
+
+  /** Child names of `dir` (not paths); empty when the dir doesn't exist. */
+  def listNames(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+  }
+
+  def mkdirs(dir: String): Unit = {
+    val p = new Path(dir)
+    fs(p).mkdirs(p)
+  }
+
+  def readBytes(dir: String, name: String): Array[Byte] = {
+    val p = new Path(dir, name)
+    val f = fs(p)
+    val in = f.open(p)
+    try {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Publish a small file: write `<name>.tmp`, then rename over `name`.
+    * A crash between the two leaves only an ignorable `.tmp`. */
+  def publish(dir: String, name: String, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dir, name + ".tmp")
+    val dst = new Path(dir, name)
+    val f = fs(dst)
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** Directory-to-directory move (used by the legacy-state migration). */
+  def move(dir: String, from: String, to: String): Unit = {
+    val src = new Path(dir, from)
+    val dst = new Path(dir, to)
+    if (!fs(src).rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
+  def deleteRecursive(dir: String, name: String): Unit = {
+    val p = new Path(dir, name)
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+}

@@ -1,12 +1,12 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.{Linkage, Scoring}
+import graft.plans.StateFs
 
 /** Incremental linkage over a stream of page micro-batches: each batch
   * re-pairs and re-scores ONLY the blocks it touches, carrying every other
@@ -98,7 +98,7 @@ object IncrementalLinkage {
 
   /** `name` minus `prefix` iff the remainder is a well-formed batch id.
     * Anything else — in particular a `compacted_N.tmp` leftover from a crash
-    * between `Files.write` and the atomic rename — is NOT state and must be
+    * between the marker write and the atomic rename — is NOT state and must be
     * ignored, never parsed (a `.toLong` crash here would permanently block
     * every restart, defeating the tmp+rename crash-safety it implements). */
   private def numericSuffix(name: String, prefix: String): Option[Long] = {
@@ -111,21 +111,18 @@ object IncrementalLinkage {
   /** Batch ids with a fully committed delta (all three dirs have _SUCCESS),
     * ascending. */
   def committedBatches(stateDir: String): Seq[Long] = {
-    val d = new java.io.File(stateDir)
-    val names = Option(d.list()).getOrElse(Array.empty[String])
-    names.flatMap(n => numericSuffix(n, "changed_"))
+    StateFs.listNames(stateDir)
+      .flatMap(n => numericSuffix(n, "changed_"))
       .filter { b =>
         Seq(s"changed_$b", s"prepared_delta_$b", s"scored_delta_$b")
-          .forall(n => new java.io.File(new java.io.File(d, n), "_SUCCESS").exists())
-      }.sorted.toSeq
+          .forall(n => StateFs.exists(stateDir, s"$n/_SUCCESS"))
+      }.sorted
   }
 
   /** Committed compaction markers, ascending. */
-  def compactions(stateDir: String): Seq[Long] = {
-    val d = new java.io.File(stateDir)
-    Option(d.list()).getOrElse(Array.empty[String])
-      .flatMap(n => numericSuffix(n, "compacted_")).sorted.toSeq
-  }
+  def compactions(stateDir: String): Seq[Long] =
+    StateFs.listNames(stateDir)
+      .flatMap(n => numericSuffix(n, "compacted_")).sorted
 
   /** The delta batches that constitute the state before `beforeBatch`:
     * everything from the latest compaction point forward. */
@@ -173,22 +170,11 @@ object IncrementalLinkage {
   private def gcSuperseded(stateDir: String, currentBatch: Long): Unit = {
     compactions(stateDir).filter(_ < currentBatch).lastOption.foreach { c =>
       committedBatches(stateDir).filter(_ < c).foreach { b =>
-        Seq(s"changed_$b", s"prepared_delta_$b", s"scored_delta_$b").foreach { n =>
-          deleteRecursively(Paths.get(stateDir, n))
-        }
+        Seq(s"changed_$b", s"prepared_delta_$b", s"scored_delta_$b")
+          .foreach(n => StateFs.deleteRecursive(stateDir, n))
       }
     }
   }
-
-  private def deleteRecursively(dir: java.nio.file.Path): Unit =
-    if (Files.isDirectory(dir)) {
-      // Files.walk holds an open directory handle until closed — a GC pass
-      // over many delta dirs would otherwise leak fds until finalization
-      scala.util.Using.resource(Files.walk(dir)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
-    }
 
   /** One-time migration of round-2-layout state (full-rewrite `prepared_N` /
     * `scored_N` dirs, latest complete pair = the state) into the delta
@@ -201,11 +187,10 @@ object IncrementalLinkage {
     * load EMPTY state while its checkpoint blocks re-ingesting the pages
     * that produced the old state. */
   private[streaming] def migrateLegacyState(spark: SparkSession, stateDir: String): Unit = {
-    val d = new java.io.File(stateDir)
-    val names = Option(d.list()).getOrElse(Array.empty[String])
+    val names = StateFs.listNames(stateDir)
     def complete(prefix: String) = names
       .flatMap(n => numericSuffix(n, prefix)) // "prepared_delta_7" has a
-      .filter(b => new java.io.File(new java.io.File(d, s"$prefix$b"), "_SUCCESS").exists())
+      .filter(b => StateFs.exists(stateDir, s"$prefix$b/_SUCCESS"))
       .toSet                                  // non-numeric "prepared_" suffix
     val legacyP = complete("prepared_")
     val legacyS = complete("scored_")
@@ -225,19 +210,14 @@ object IncrementalLinkage {
     spark.read.parquet(s"$stateDir/$prepSrc").select("block_key").distinct()
       .write.mode("overwrite").parquet(s"$stateDir/changed_$base")
     if (!deltaS(base))
-      Files.move(Paths.get(stateDir, s"scored_$base"),
-        Paths.get(stateDir, s"scored_delta_$base"))
+      StateFs.move(stateDir, s"scored_$base", s"scored_delta_$base")
     if (!deltaP(base))
-      Files.move(Paths.get(stateDir, s"prepared_$base"),
-        Paths.get(stateDir, s"prepared_delta_$base"))
-    val tmp = Paths.get(stateDir, s"compacted_$base.tmp")
-    Files.write(tmp, Array.empty[Byte])
-    Files.move(tmp, Paths.get(stateDir, s"compacted_$base"),
-      StandardCopyOption.ATOMIC_MOVE)
+      StateFs.move(stateDir, s"prepared_$base", s"prepared_delta_$base")
+    StateFs.publish(stateDir, s"compacted_$base", Array.empty[Byte])
     // older legacy versions were superseded full rewrites
     ((legacyP ++ legacyS) - base).foreach { b =>
-      deleteRecursively(Paths.get(stateDir, s"prepared_$b"))
-      deleteRecursively(Paths.get(stateDir, s"scored_$b"))
+      StateFs.deleteRecursive(stateDir, s"prepared_$b")
+      StateFs.deleteRecursive(stateDir, s"scored_$b")
     }
   }
 
@@ -285,10 +265,7 @@ object IncrementalLinkage {
           allChanged.write.mode("overwrite").parquet(s"$stateDir/changed_$batchId")
           // marker LAST, atomically — a crash before this line leaves an
           // oversized but correct delta; after it, older deltas are redundant
-          val tmp = Paths.get(stateDir, s"compacted_$batchId.tmp")
-          Files.write(tmp, Array.empty[Byte])
-          Files.move(tmp, Paths.get(stateDir, s"compacted_$batchId"),
-            StandardCopyOption.ATOMIC_MOVE)
+          StateFs.publish(stateDir, s"compacted_$batchId", Array.empty[Byte])
         }
         d.bPrep.unpersist(false)
         ()
