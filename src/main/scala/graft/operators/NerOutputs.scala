@@ -52,7 +52,13 @@ object NerOutputs {
   val BulvarKw: Set[String] = Set("bulvari", "bulvar", "bulv", "blv")
   val TarifKw: Set[String] = Set(
     "hastanesi", "universitesi", "bakkali", "oteli", "avm",
-    "karsisi", "yani", "ustu", "girisi", "arkasi")
+    "karsisi", "yani", "ustu", "girisi", "arkasi",
+    // landmark-category head nouns from the reference's own TARIF config
+    // (data/synth/config/general_config.py:388-452: market/bakkal,
+    // üniversitesi, hastanesi, osb, otel, avm, banka categories) plus the
+    // institution heads those templates inflect (müdürlüğü, eczane, kampüs)
+    "market", "lisesi", "mudurlugu", "eczanesi", "lokantasi",
+    "kampusu", "ishani", "bankasi", "osb")
 
   /** Keyword canonicals that can never be part of an entity NAME (stop the
     * left-walk that attaches name tokens to a keyword anchor). */
@@ -284,8 +290,26 @@ object NerOutputs {
             (tokens(k + 1) == "mah" || tokens(k + 1) == "sk" ||
               tokens(k + 1) == "cad" || NerOutputs.BulvarKw(tokens(k + 1)) ||
               NerOutputs.SiteKw(tokens(k + 1)) || NerOutputs.BinaAdiKw(tokens(k + 1)))
+          // dictionary stop: a token the held-out gazetteer knows as a
+          // district/province is admin evidence even when bestMatch picked a
+          // different name — absorbing it would make the later ILCE sweep
+          // skip it (2.6 only fills uncovered windows) and phase 3 drop the
+          // tentative span ("lisesi turgutlu", "osb turgutlu manisa")
+          def dictAdmin(k: Int): Boolean =
+            idx.distIndex.contains(tokens(k)) || idx.provIndex.contains(tokens(k))
+          // positional-ILCE guard: the single name just before a recognized
+          // province is the district (rule 3.4 — "osb turgutlu manisa",
+          // "mudurlugu soke aydin"); absorbing it would cover the token and
+          // disable that rule, which is the only source for districts the
+          // leave-one-out dictionary cannot know
+          def preProvince(k: Int): Boolean = {
+            var n = k + 1
+            if (n < T && (tokens(n) == "/" || tokens(n) == "-")) n += 1
+            n < T && idx.provIndex.contains(tokens(n))
+          }
           while (steps < 4 && e < T && nameLike(tokens(e)) && !covered(e) &&
-              !adminCovered(e) && !nextIsAnchor(e)) {
+              !adminCovered(e) && !dictAdmin(e) && !preProvince(e) &&
+              !nextIsAnchor(e)) {
             e += 1; steps += 1
           }
           e
@@ -295,7 +319,10 @@ object NerOutputs {
           val (tp, s0, _) = out(adjacent)
           out(adjacent) = (tp, s0, extendRight(i + 1))
         } else {
-          val j = nameStart(i, digitFirst = false, cap = 5)
+          // same dictionary stop on the left walk ("mudurlugu" must not
+          // claim the "soke" of "soke ilce milli egitim mudurlugu")
+          val j = nameStart(i, digitFirst = false, cap = 5,
+            walkStop = w => idx.distIndex.contains(w) || idx.provIndex.contains(w))
           if (j < i) out += (("TARIF", j, extendRight(i + 1)))
         }
       }
