@@ -45,12 +45,11 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = Sessions.local("graft-bench", cpus)
 
-    // (name, best-time-or-None, first-run-time, errorMessage)
-    val results: Seq[(String, Option[Double], Double, Option[String])] =
+    // (name, best-time-or-None, errorMessage)
+    val results: Seq[(String, Option[Double], Option[String])] =
       headline.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           var best = Double.MaxValue
-          var first = 0.0
           var err: Option[String] = None
           var r = 0
           while (r < runs) {
@@ -58,9 +57,6 @@ object Bench {
             try {
               fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               val sec = (System.nanoTime() - t0) / 1e9
-              // first *successful* run (round-3 ADVICE: a transient failure
-              // on run 0 must not zero the first-run record)
-              if (first == 0.0) first = sec
               best = math.min(best, sec)
             } catch {
               case e: Throwable =>
@@ -76,14 +72,14 @@ object Bench {
           // a query is failed only if NO run succeeded — a valid measurement
           // from run 1 is not discarded by a transient failure on run 2
           // (round-2 ADVICE); the error is still reported alongside.
-          (name, if (best < Double.MaxValue) Some(best) else None, first, err)
+          (name, if (best < Double.MaxValue) Some(best) else None, err)
         }
       }
 
-    val ok = results.collect { case (n, Some(t), _, _) => n -> t }
-    val failed = results.collect { case (n, None, _, Some(m)) => n -> m }
+    val ok = results.collect { case (n, Some(t), _) => n -> t }
+    val failed = results.collect { case (n, None, Some(m)) => n -> m }
     // succeeded at least once but also had a failing run — timing kept
-    val flaky = results.collect { case (n, Some(_), _, Some(m)) => n -> m }
+    val flaky = results.collect { case (n, Some(_), Some(m)) => n -> m }
 
     // North-rule throughput: pages through the FULL cold scored pipeline
     // (synthesize→extract→normalize→block→pair→score) per second. The
