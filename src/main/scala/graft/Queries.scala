@@ -560,6 +560,10 @@ object Queries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
         |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.2
         |ORDER BY query_id, neighbor_id""".stripMargin,
+    // the Spark side is round(round(cos,6),2) — the operators emit 6dp, the
+    // catalog re-rounds to 2dp for the hash — so the oracle mirrors the SAME
+    // composition; a single round(·,2) would diverge whenever a cosine lands
+    // within float error of a .xx5 boundary AFTER the 6dp step
     "q_ann_topk" ->
       """WITH ranked AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -567,7 +571,7 @@ object Queries {
         |  row_number() OVER (PARTITION BY q.vec_id
         |   ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
         | FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, round(c, 2) AS cos, rank
+        |SELECT query_id, neighbor_id, round(round(c, 6), 2) AS cos, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_dedup" ->
       """WITH planted AS (
@@ -575,7 +579,7 @@ object Queries {
         | UNION ALL
         | SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | round(list_cosine_similarity(a.embedding, b.embedding), 2) AS cos
+        | round(round(list_cosine_similarity(a.embedding, b.embedding), 6), 2) AS cos
         |FROM planted a JOIN planted b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin

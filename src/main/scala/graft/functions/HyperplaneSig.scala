@@ -74,7 +74,10 @@ object HyperplaneUtil {
         proj += x * sign
         d += 1
       }
-      if (proj > 0) sig |= (1L << p)
+      // Spark compares doubles nan-safely (NaN > 0 is TRUE in both codegen
+      // and interpreted GreaterThan) — a NaN element poisons every plane's
+      // sum, and the Column witness then sets every bit; mirror that
+      if (proj > 0 || java.lang.Double.isNaN(proj)) sig |= (1L << p)
       p += 1
     }
     sig

@@ -33,6 +33,15 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig needs array<string>, got $t") // analysis-time, not a
+        // mid-job ClassCastException in getUTF8String
+    }
+
   override def nullSafeEval(input: Any): Any =
     MinHashUtil.signature(input.asInstanceOf[ArrayData], numHashes)
 

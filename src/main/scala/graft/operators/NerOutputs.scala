@@ -617,6 +617,18 @@ object NerOutputs {
       s"""{"type": "${e.entity_type}", "text": "${jsonEscape(e.text)}", "start": ${e.start}, "end": ${e.end}, "score": ${e.score}}""")
       .mkString("[", ", ", "]")
 
+  /** The per-row E6/E7 prediction kernel — ONE implementation shared by
+    * [[process]] and [[runCsv]] so the batch and CSV surfaces can never
+    * fork: norm text → (pred_tags, entities_json, entities_flat). */
+  private def predictRow(norm: String, idx: Gazetteer.Index): (String, String, String) = {
+    val tokens = if (norm == null) Array.empty[String]
+                 else norm.split(" ").filter(_.nonEmpty)
+    val sps = spans(tokens, idx)
+    val ents = aggregateEntities(tokens, sps)
+    (spansToBio(tokens.length, sps).mkString(" "),
+      entitiesJson(ents), joinEntitiesFlat(ents))
+  }
+
   /** E6: the batched extraction kernel over (url, normalized text). */
   def process(df: DataFrame, urlCol: String, normCol: String,
               bIdx: Broadcast[Gazetteer.Index], batchSize: Int = 32): Dataset[NerRow] = {
@@ -625,14 +637,8 @@ object NerOutputs {
       it.grouped(batchSize).flatMap { batch =>
         val idx = bIdx.value
         batch.map { case (url, norm) =>
-          val tokens = if (norm == null) Array.empty[String]
-                       else norm.split(" ").filter(_.nonEmpty)
-          val sps = spans(tokens, idx)
-          val ents = aggregateEntities(tokens, sps)
-          NerRow(url, norm,
-            spansToBio(tokens.length, sps).mkString(" "),
-            entitiesJson(ents),
-            joinEntitiesFlat(ents))
+          val (bio, json, flat) = predictRow(norm, idx)
+          NerRow(url, norm, bio, json, flat)
         }
       }
     }
@@ -653,7 +659,14 @@ object NerOutputs {
   def runCsv(spark: SparkSession, inCsv: String, outCsv: String, textCol: String,
              bIdx: Broadcast[Gazetteer.Index], batchSize: Int = 32): Unit = {
     val in = spark.read.option("header", "true").csv(inCsv)
-    val withNorm = in.withColumn("__norm", graft.functions.TrNormalize.static(col(textCol)))
+    // collision-proof working column: withColumn REPLACES an existing column
+    // in place, so a fixed "__norm" on a CSV that already has that header
+    // would both clobber user data and shift the positional drop below
+    val normName = Iterator.from(0)
+      .map(i => if (i == 0) "__norm" else s"__norm_$i")
+      .find(n => !in.columns.contains(n)).get
+    val withNorm = in.withColumn(normName, graft.functions.TrNormalize.static(col(textCol)))
+    val normIdx = withNorm.schema.fieldIndex(normName)
     val outSchema = org.apache.spark.sql.types.StructType(
       in.schema.fields ++ Seq("pred_tags", "entities_json", "entities_flat")
         .map(org.apache.spark.sql.types.StructField(_,
@@ -663,16 +676,9 @@ object NerOutputs {
       it.grouped(batchSize).flatMap { batch =>
         val idx = bIdx.value
         batch.map { r =>
-          val norm = r.getAs[String]("__norm")
-          val tokens = if (norm == null) Array.empty[String]
-                       else norm.split(" ").filter(_.nonEmpty)
-          val sps = spans(tokens, idx)
-          val ents = aggregateEntities(tokens, sps)
+          val (bio, json, flat) = predictRow(r.getString(normIdx), idx)
           org.apache.spark.sql.Row.fromSeq(
-            r.toSeq.dropRight(1) ++ Seq( // drop __norm (last projected col)
-              spansToBio(tokens.length, sps).mkString(" "),
-              entitiesJson(ents),
-              joinEntitiesFlat(ents)))
+            r.toSeq.patch(normIdx, Nil, 1) ++ Seq(bio, json, flat))
         }
       }
     }(enc).write.option("header", "true").mode("overwrite").csv(outCsv)

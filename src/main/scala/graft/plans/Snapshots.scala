@@ -50,9 +50,17 @@ object Snapshots {
   def committedSnaps(root: String, stage: String): Seq[Int] = {
     val d = stageDir(root, stage)
     StateFs.listNames(d)
-      .filter(n => n.startsWith("snap=") && n.stripPrefix("snap=").forall(_.isDigit))
-      .filter(n => StateFs.exists(d, s"$n/manifest.json"))
-      .map(_.stripPrefix("snap=").toInt)
+      .flatMap { n =>
+        // a stray "snap=" (empty suffix) or an over-Int digit run must be
+        // ignored, never parsed — a .toInt throw here would permanently
+        // block every commit/resume on this stage (the same guard
+        // IncrementalLinkage.numericSuffix applies to its delta names)
+        val suf = n.stripPrefix("snap=")
+        if (n.startsWith("snap=") && suf.nonEmpty && suf.forall(_.isDigit))
+          scala.util.Try(suf.toInt).toOption
+        else None
+      }
+      .filter(s => StateFs.exists(d, s"snap=$s/manifest.json"))
       .sorted
   }
 

@@ -26,10 +26,21 @@ import org.apache.spark.sql.SparkSession
 object StateFs {
 
   /** Hadoop conf from the active session when there is one (so `fs.*`
-    * settings and credentials apply), else a vanilla Configuration. */
+    * settings and credentials apply), else a vanilla Configuration.
+    * Memoized per session: `newHadoopConf` clones the full SparkConf, and
+    * the listing helpers call in here several times per batch/snapshot —
+    * re-cloning per call is pure overhead. Weak keys: the Configuration
+    * value holds no reference back to its session, so entries vanish with
+    * the session instead of pinning it. */
+  private val confCache = new java.util.WeakHashMap[SparkSession, Configuration]()
+  private lazy val fallbackConf = new Configuration()
   private def conf: Configuration =
-    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    SparkSession.getActiveSession match {
+      case Some(s) => confCache.synchronized {
+        confCache.computeIfAbsent(s, s2 => s2.sessionState.newHadoopConf())
+      }
+      case None => fallbackConf
+    }
 
   def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
@@ -63,17 +74,31 @@ object StateFs {
     } finally in.close()
   }
 
-  /** Publish a small file: write `<name>.tmp`, then rename over `name`.
-    * A crash between the two leaves only an ignorable `.tmp`. */
+  /** Publish a small file: write `<name>.tmp`, then rename over `name` with
+    * OVERWRITE semantics (FileContext — atomic on HDFS/local, so a
+    * re-publish of an existing marker, e.g. a retried foreachBatch
+    * compaction, never passes through a window where NEITHER version
+    * exists). A crash before the rename leaves only an ignorable `.tmp`.
+    * On file systems without a FileContext binding the fallback is
+    * delete-then-rename, whose non-atomic window is a re-publish-only path
+    * and re-converges on the next retry. */
   def publish(dir: String, name: String, bytes: Array[Byte]): Unit = {
     val tmp = new Path(dir, name + ".tmp")
     val dst = new Path(dir, name)
     val f = fs(dst)
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.makeQualified(dst).toUri, conf)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(dst)) f.delete(dst, false)
+        if (!f.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
   }
 
   /** Directory-to-directory move (used by the legacy-state migration). */

@@ -60,6 +60,14 @@ class FsStateSpec extends AnyFunSuite {
     val out = fs.create(new HPath(snap7, "manifest.json.tmp"), true)
     out.write("{\"broken".getBytes); out.close()
     assert(Snapshots.committedSnaps(root, "stage1") == Seq(0))
+    // stray non-numeric snap dirs (crash debris, fat-fingered tooling) are
+    // ignored, never parsed — an unguarded .toInt here would permanently
+    // block every commit/resume on the stage
+    fs.mkdirs(new HPath(root, "stage1/snap="))
+    val out2 = fs.create(new HPath(root, "stage1/snap=/manifest.json"), true)
+    out2.write("{}".getBytes); out2.close()
+    fs.mkdirs(new HPath(root, "stage1/snap=99999999999/x"))
+    assert(Snapshots.committedSnaps(root, "stage1") == Seq(0))
     // and the next commit skips past the uncommitted dir id
     val s8 = Snapshots.commit(df, root, "stage1", "fp2")
     assert(s8 == 1 && Snapshots.latest(root, "stage1", "fp2").contains(1))

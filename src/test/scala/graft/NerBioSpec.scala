@@ -158,6 +158,27 @@ class NerBioSpec extends AnyFunSuite {
     }
   }
 
+  test("runCsv: an input CSV that already has a __norm column survives intact") {
+    // withColumn replaces an existing column in place — runCsv must pick a
+    // collision-free working name so the user's __norm data is neither
+    // clobbered nor positionally mis-dropped
+    val pages = Pages.synthesize(spark, 30).toDF()
+    val bIdx = StaticParser.broadcastIndex(spark)
+    val inCsv = Files.createTempDirectory("nernorm-in").toString
+    val outCsv = Files.createTempDirectory("nernorm-out").toString + "/out"
+    Linkage.extract(pages)
+      .select(col("url"), col("extracted").as("address"),
+        concat(lit("user-"), col("url")).as("__norm"))
+      .write.option("header", "true").mode("overwrite").csv(inCsv)
+    NerOutputs.runCsv(spark, inCsv, outCsv, "address", bIdx)
+    val back = spark.read.option("header", "true").csv(outCsv)
+    assert(back.columns.toSet ==
+      Set("url", "address", "__norm", "pred_tags", "entities_json", "entities_flat"))
+    assert(back.count() == 30)
+    // the user's __norm values came through untouched
+    assert(back.filter(col("__norm") === concat(lit("user-"), col("url"))).count() == 30)
+  }
+
   test("BIO synthesis: deterministic, tag-consistent, CoNLL roundtrip") {
     val ds = Bio.synthesize(spark, 200).persist()
     val rows = ds.collect()

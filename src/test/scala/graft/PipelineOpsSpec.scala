@@ -98,7 +98,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val edge = Seq(
       (800001L, Array.fill(32)(0.0f)),
       (800002L, Array(1.0f)),
-      (800003L, Array(-0.5f, 0.25f, -0.125f)))
+      (800003L, Array(-0.5f, 0.25f, -0.125f)),
+      // NaN poisons every projection; Spark's nan-safe GreaterThan makes the
+      // witness set EVERY bit — the native expression must agree
+      (800004L, Array(1.0f, Float.NaN, 2.0f)))
       .toDF("vec_id", "embedding")
     val both = emb.select("vec_id", "embedding").limit(200)
       .union(edge)
