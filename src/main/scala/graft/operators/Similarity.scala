@@ -78,6 +78,25 @@ object Similarity {
     * PlanSpec asserts the optimized plan is Exchange- and Window-free. */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                   cents: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val centsD: Seq[Seq[Double]] = cents.toIndexedSeq.map { r =>
+      r.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => throw new IllegalArgumentException(s"non-numeric centroid element $x")
+      }
+    }
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        graft.functions.NearestCentroid.nearestCentroid(col("vec"), centsD))
+  }
+
+  /** The literal-array HOF fold [[assignCells]] replaced — kept ONLY as the
+    * independent witness for the native expression's equality property test
+    * (PlanSpec); never call it in a pipeline. The fold itself was already
+    * shuffle-free (it replaced the round-3 crossJoin+Window shape); the
+    * native expression removes its nCells×dim interpreted lambda entries. */
+  private[graft] def assignCellsColumns(corpus: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[org.apache.spark.sql.Row]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftbridge.Bridge
     val vecType = corpus.schema(corpus.schema.fieldIndex(vecCol)).dataType

@@ -104,6 +104,25 @@ class PlanSpec extends AnyFunSuite {
       .join(witness, "neighbor_id")
       .filter(col("cell") =!= col("cell_w")).count()
     assert(diff == 0, s"$diff rows assigned to a different cell than the windowed argmax")
+
+    // native NearestCentroid ≡ the literal-array HOF fold it replaced, on
+    // real embeddings PLUS the degenerate shapes the windowed join above
+    // can't exercise (all-zero vector → every cosine NaN → nan-safe fold
+    // lands in cell 0; NaN element; negative single-dim)
+    import spark.implicits._
+    val edge = Seq(
+      (900001L, Array.fill(32)(0.0f)),
+      (900002L, Array.fill(32)(Float.NaN)),
+      (900003L, Array.tabulate(32)(i => if (i == 0) -1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val both = emb.select("vec_id", "embedding").limit(300).union(edge)
+    val nat = graft.operators.Similarity.assignCells(both, "vec_id", "embedding", sample)
+      .select(col("neighbor_id"), col("cell"))
+    val fold = graft.operators.Similarity
+      .assignCellsColumns(both, "vec_id", "embedding", sample)
+      .select(col("neighbor_id"), col("cell").as("cell_f"))
+    val d2 = nat.join(fold, "neighbor_id").filter(col("cell") =!= col("cell_f")).count()
+    assert(d2 == 0, s"$d2 rows: native NearestCentroid != HOF fold")
   }
 
   test("q_jaro_winkler runs as a native expression (no ScalaUDF in the plan)") {
