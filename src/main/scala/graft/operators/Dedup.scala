@@ -302,9 +302,16 @@ object Dedup {
 
   // ------------------------- embedding cosine ------------------------------
 
-  /** Cosine similarity of two float-array columns, computed in Catalyst
-    * (zip_with multiply + aggregate sum — codegen'd, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns — native codegen'd
+    * expression ([[graft.functions.CosineSim]]): one fused loop per pair
+    * instead of three interpreted zip_with/aggregate folds. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosineSim(a, b)
+
+  /** The HOF formulation [[cosine]] replaced — kept ONLY as the independent
+    * witness for the native expression's equality property test
+    * (PipelineOpsSpec); never call it in a pipeline. */
+  private[graft] def cosineColumns(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0d), (acc, p) => acc + p)
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))

@@ -116,6 +116,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w48.filter(not(col("n") <=> col("c"))).count() == 0)
   }
 
+  test("native cosine ≡ Column formulation (value-identical incl. null/NaN edges)") {
+    // Every ANN oracle (q_ann_threshold/topk, q_embed_dedup) hashes rounded
+    // cosine values, so the native CosineSim must be BIT-identical to the
+    // zip_with/aggregate math: float-multiply products, left-to-right sums,
+    // division order, null poisoning (null element OR length mismatch), and
+    // 0/0 → NaN for zero vectors.
+    val pairs = emb.select(col("vec_id"), col("embedding")).limit(120)
+      .crossJoin(emb.select(col("embedding").as("b")).limit(15))
+    val real = pairs.select(
+      Dedup.cosine(col("embedding"), col("b")).as("n"),
+      Dedup.cosineColumns(col("embedding"), col("b")).as("c"))
+    assert(real.filter(not(col("n") <=> col("c"))).count() == 0)
+    // non-zero-norm edges: both formulations are defined — must agree exactly
+    val edge = Seq(
+      (Array(1.0f, Float.NaN), Array(1.0f, 1.0f)), // NaN element → NaN
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f), Array(1.0f, 1.0f)))            // length mismatch → null
+      .toDF("a", "b").repartition(2)
+      .select(Dedup.cosine(col("a"), col("b")).as("n"),
+        Dedup.cosineColumns(col("a"), col("b")).as("c"))
+    assert(edge.filter(not(col("n") <=> col("c"))).count() == 0,
+      edge.collect().mkString(";"))
+
+    // zero-norm vectors: the HOF formulation is NOT defined under Spark 4's
+    // ANSI default — sqrt(dot(v,v)) = 0 and Divide throws DIVIDE_BY_ZERO —
+    // so one degenerate row would kill a whole 100-TB job. The native
+    // expression deliberately returns IEEE NaN instead (scores nothing,
+    // matches nothing). Pin BOTH behaviors so the divergence stays a
+    // documented decision, not an accident.
+    val zeros = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b").repartition(2)
+    val nat = zeros.select(Dedup.cosine(col("a"), col("b")).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(nat.forall(_.isNaN), s"native on zero-norm: ${nat.mkString(",")}")
+    val thrown = intercept[Exception] {
+      zeros.select(Dedup.cosineColumns(col("a"), col("b")).as("c")).collect()
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"),
+      s"expected ANSI divide-by-zero from the HOF shape, got: ${thrown.getMessage.take(120)}")
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     // plant: copy 3 docs with one word changed (high shingle overlap)
     val mutated = docs.limit(3)
