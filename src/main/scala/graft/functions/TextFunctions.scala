@@ -104,8 +104,15 @@ object TextFunctions {
   def rollingFingerprint(c: Column): Column =
     aggregate(tokens(c), lit(1469598103934665603L), (acc, t) => xxhash64(acc, t))
 
-  /** Word n-gram shingles of the token array. */
-  def shingles(c: Column, n: Int): Column = {
+  /** Word n-gram shingles — native codegen'd expression; see
+    * [[WordShingles]]. */
+  def shingles(c: Column, n: Int): Column =
+    WordShinglesUtil.wordShingles(c, n)
+
+  /** The HOF formulation [[shingles]] replaced — kept ONLY as the
+    * independent witness for the native expression's equality property test
+    * (PipelineOpsSpec); never call it in a pipeline. */
+  private[graft] def shinglesColumns(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),

@@ -116,6 +116,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w48.filter(not(col("n") <=> col("c"))).count() == 0)
   }
 
+  test("native word shingles ≡ Column formulation (tokenizer-parity edges)") {
+    // Tokenization must match split("\\s+") EXACTLY — the Java regex ASCII
+    // \s class, not Character.isWhitespace (U+2028/U+00A0 distinguish them).
+    // Shingle strings feed hashes, so "close" breaks band buckets.
+    val edge = Seq("", " ", "tek", "  a  b\t\nc  ", "a b c d e",
+      "a b c", "a b c d", "çok uzun bir cümle örneği",
+      "xy\fz w", "a b").toDF("text")
+    val both = docs.select("text").limit(300).union(edge)
+      .repartition(3) // codegen path, not ConvertToLocalRelation pre-eval
+      .select(
+        TextFunctions.shingles(col("text"), 3).as("n3"),
+        TextFunctions.shinglesColumns(col("text"), 3).as("c3"),
+        TextFunctions.shingles(col("text"), 2).as("n2"),
+        TextFunctions.shinglesColumns(col("text"), 2).as("c2"))
+    assert(both.filter(not(col("n3") <=> col("c3"))).count() == 0)
+    assert(both.filter(not(col("n2") <=> col("c2"))).count() == 0)
+  }
+
   test("native cosine ≡ Column formulation (value-identical incl. null/NaN edges)") {
     // Every ANN oracle (q_ann_threshold/topk, q_embed_dedup) hashes rounded
     // cosine values, so the native CosineSim must be BIT-identical to the
