@@ -556,7 +556,7 @@ object Queries {
          |ORDER BY neighbourhood""".stripMargin,
     "q_ann_threshold" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        | round(list_cosine_similarity(q.embedding, c.embedding), 2) AS cos
+        | round(round(list_cosine_similarity(q.embedding, c.embedding), 6), 2) AS cos
         |FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
         |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.2
         |ORDER BY query_id, neighbor_id""".stripMargin,

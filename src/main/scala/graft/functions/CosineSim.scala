@@ -26,9 +26,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * ONE deliberate divergence: a zero-norm vector. Under Spark 4's ANSI
   * default the Column shape's `Divide` THROWS (DIVIDE_BY_ZERO, measured in
   * both eval paths) — one degenerate embedding would kill a whole 100-TB
-  * job. This expression returns IEEE NaN instead: the row scores nothing,
-  * matches nothing, and the job survives. The property test pins both
-  * behaviors so the divergence stays a decision, not an accident.
+  * job. This expression returns NULL instead: a null fails every `>=`
+  * threshold filter and sorts LAST under the `desc` top-k windows, so the
+  * row scores nothing and matches nothing. (NaN would do the OPPOSITE —
+  * Spark treats NaN as greater than every numeric, so a NaN cosine would
+  * pass every threshold and rank first in every top-k.) The property test
+  * pins both behaviors so the divergence stays a decision, not an accident.
+  *
+  * Inputs must share an element type (both float or both double): a mixed
+  * pair multiplies float×double in double while the Column shape's
+  * float×float products round to float first, which would silently break
+  * the bit-identity the oracle hashes rely on — rejected at analysis.
   *
   * The HOF shape re-enters the lambda interpreter 3×dim times per pair
   * (dot(a,b), dot(a,a), dot(b,b)); this is one fused loop.
@@ -46,9 +54,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override def checkInputDataTypes(): TypeCheckResult =
     (elem(left.dataType), elem(right.dataType)) match {
-      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case (Some(l), Some(r)) if l == r => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim needs two array<float|double>, got ${left.dataType} / ${right.dataType}")
+        s"cosine_sim needs two arrays of the SAME float|double element type, " +
+          s"got ${left.dataType} / ${right.dataType}")
     }
 
   private lazy val leftFloat = left.dataType match {
@@ -82,6 +91,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       }
       d += 1
     }
+    // zero-norm: the HOF shape throws ANSI DIVIDE_BY_ZERO here; null is the
+    // only value that genuinely "matches nothing" (NaN sorts FIRST desc and
+    // passes >= filters under Spark's NaN-greatest semantics)
+    if (aa == 0.0d || bb == 0.0d) return null
     java.lang.Double.valueOf(ab / math.sqrt(aa) / math.sqrt(bb))
   }
 

@@ -70,6 +70,9 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
       else { val x = arr.getDouble(d); vv += x * x }
       d += 1
     }
+    // zero-norm vector: CosineSim yields null against every centroid, so no
+    // cell ever beats the fold's init — cell -1, exactly like the witness
+    if (vv == 0.0d) return -1
     val vNorm = math.sqrt(vv)
     var bestD = -2.0d
     var bestC = -1
@@ -78,8 +81,10 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     while (c < k) {
       // zip_with pads the shorter array with nulls: a dimension mismatch
       // nulls the product sum and the cosine, so the cell can never win —
-      // mirror by skipping it outright
-      val dimOk = (if (isFloat) centsF(c).length else centsD(c).length) == n
+      // mirror by skipping it outright; same for a zero-norm centroid
+      // (CosineSim yields null for it)
+      val dimOk = (if (isFloat) centsF(c).length else centsD(c).length) == n &&
+        centNorms(c) != 0.0d
       if (dimOk) {
         var num = 0.0d
         d = 0
@@ -101,11 +106,28 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     bestC
   }
 
-  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  // A NULL input array also yields cell -1, not null: the witness fold's
+  // cosines all go null, nothing beats the init, and getField("cell")
+  // returns the init's non-null -1 — so this expression is never null
+  // (keeps downstream groupBy("cell") total, no null-cell group).
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) -1 else compute(v.asInstanceOf[ArrayData])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        int ${ev.value} = ${childGen.isNull} ? -1 : $ref.compute(${childGen.value});
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =

@@ -50,16 +50,8 @@ object Snapshots {
   def committedSnaps(root: String, stage: String): Seq[Int] = {
     val d = stageDir(root, stage)
     StateFs.listNames(d)
-      .flatMap { n =>
-        // a stray "snap=" (empty suffix) or an over-Int digit run must be
-        // ignored, never parsed — a .toInt throw here would permanently
-        // block every commit/resume on this stage (the same guard
-        // IncrementalLinkage.numericSuffix applies to its delta names)
-        val suf = n.stripPrefix("snap=")
-        if (n.startsWith("snap=") && suf.nonEmpty && suf.forall(_.isDigit))
-          scala.util.Try(suf.toInt).toOption
-        else None
-      }
+      .flatMap(n => StateFs.numericSuffix(n, "snap="))
+      .collect { case v if v <= Int.MaxValue => v.toInt }
       .filter(s => StateFs.exists(d, s"snap=$s/manifest.json"))
       .sorted
   }

@@ -32,15 +32,39 @@ object StateFs {
     * re-cloning per call is pure overhead. Weak keys: the Configuration
     * value holds no reference back to its session, so entries vanish with
     * the session instead of pinning it. */
-  private val confCache = new java.util.WeakHashMap[SparkSession, Configuration]()
+  // TTL'd so runtime conf changes (e.g. refreshed object-store credentials
+  // set via spark.conf.set mid-session) are picked up within a minute while
+  // the tight listing loops still hit the cache.
+  private val ConfTtlNanos = 60L * 1000 * 1000 * 1000
+  private val confCache =
+    new java.util.WeakHashMap[SparkSession, (Configuration, Long)]()
   private lazy val fallbackConf = new Configuration()
   private def conf: Configuration =
     SparkSession.getActiveSession match {
       case Some(s) => confCache.synchronized {
-        confCache.computeIfAbsent(s, s2 => s2.sessionState.newHadoopConf())
+        val now = System.nanoTime()
+        confCache.get(s) match {
+          case (c, born) if now - born < ConfTtlNanos => c
+          case _ =>
+            val c = s.sessionState.newHadoopConf()
+            confCache.put(s, (c, now)); c
+        }
       }
       case None => fallbackConf
     }
+
+  /** Canonical `prefix<digits>` suffix parse, shared by every state layer:
+    * non-empty, all digits, no leading zeros (the engine only ever writes
+    * unpadded decimals — "snap=007" etc. is alien debris, ignored, never
+    * parsed: a `.toLong` throw here would permanently block every restart),
+    * and within Long range. */
+  def numericSuffix(name: String, prefix: String): Option[Long] = {
+    val s = name.stripPrefix(prefix)
+    if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit) &&
+        (s == "0" || !s.startsWith("0")))
+      scala.util.Try(s.toLong).toOption
+    else None
+  }
 
   def fs(p: Path): FileSystem = p.getFileSystem(conf)
 

@@ -101,12 +101,8 @@ object IncrementalLinkage {
     * between the marker write and the atomic rename — is NOT state and must be
     * ignored, never parsed (a `.toLong` crash here would permanently block
     * every restart, defeating the tmp+rename crash-safety it implements). */
-  private def numericSuffix(name: String, prefix: String): Option[Long] = {
-    val s = name.stripPrefix(prefix)
-    if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
-      scala.util.Try(s.toLong).toOption
-    else None
-  }
+  private def numericSuffix(name: String, prefix: String): Option[Long] =
+    StateFs.numericSuffix(name, prefix) // shared canonical parse (StateFs)
 
   /** Batch ids with a fully committed delta (all three dirs have _SUCCESS),
     * ascending. */

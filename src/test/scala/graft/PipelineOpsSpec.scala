@@ -160,15 +160,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     // zero-norm vectors: the HOF formulation is NOT defined under Spark 4's
     // ANSI default — sqrt(dot(v,v)) = 0 and Divide throws DIVIDE_BY_ZERO —
     // so one degenerate row would kill a whole 100-TB job. The native
-    // expression deliberately returns IEEE NaN instead (scores nothing,
-    // matches nothing). Pin BOTH behaviors so the divergence stays a
-    // documented decision, not an accident.
+    // expression deliberately returns NULL instead: null FAILS a >=
+    // threshold filter and sorts LAST under desc top-k windows — "matches
+    // nothing". (NaN would do the opposite: Spark treats NaN as greater
+    // than every numeric, so a NaN cosine would match everything.) Pin BOTH
+    // behaviors so the divergence stays a documented decision.
     val zeros = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
       (Array.empty[Float], Array.empty[Float]))
       .toDF("a", "b").repartition(2)
-    val nat = zeros.select(Dedup.cosine(col("a"), col("b")).as("n"))
-      .collect().map(_.getDouble(0))
-    assert(nat.forall(_.isNaN), s"native on zero-norm: ${nat.mkString(",")}")
+    val nat = zeros.select(Dedup.cosine(col("a"), col("b")).as("n")).collect()
+    assert(nat.forall(_.isNullAt(0)), s"native on zero-norm: ${nat.mkString(",")}")
+    // and null genuinely matches nothing through the operators' own shapes
+    assert(zeros.filter(Dedup.cosine(col("a"), col("b")) >= 0.0).count() == 0)
     val thrown = intercept[Exception] {
       zeros.select(Dedup.cosineColumns(col("a"), col("b")).as("c")).collect()
     }

@@ -111,9 +111,10 @@ class PlanSpec extends AnyFunSuite {
     // lands in cell 0; NaN element; negative single-dim)
     import spark.implicits._
     val edge = Seq(
-      (900001L, Array.fill(32)(0.0f)),
-      (900002L, Array.fill(32)(Float.NaN)),
-      (900003L, Array.tabulate(32)(i => if (i == 0) -1.0f else 0.0f)))
+      (900001L, Array.fill(32)(0.0f)),     // zero norm → every cosine null → cell -1
+      (900002L, Array.fill(32)(Float.NaN)), // NaN → nan-safe fold → cell 0
+      (900003L, Array.tabulate(32)(i => if (i == 0) -1.0f else 0.0f)),
+      (900004L, null.asInstanceOf[Array[Float]])) // null vec → cell -1, not null
       .toDF("vec_id", "embedding")
     val both = emb.select("vec_id", "embedding").limit(300).union(edge)
     val nat = graft.operators.Similarity.assignCells(both, "vec_id", "embedding", sample)
