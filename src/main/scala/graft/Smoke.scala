@@ -61,8 +61,13 @@ object Smoke {
     println(s"[smoke] minhash_pairs=${Dedup.minhashPairs(docsT, "doc_id", "text", threshold = 0.5).count()}")
     println(s"[smoke] simhash_pairs=${Dedup.simhashPairs(docsT, "doc_id", "text", 3).count()}")
     println(s"[smoke] simhash_clusters=${Dedup.simhashClusters(docsT, "doc_id", "text").select("cluster").distinct().count()}")
+    println(s"[smoke] ngram_jaccard_pairs=${Dedup.ngramJaccardPairs(docsT, "doc_id", "text").count()}")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 3).show(6, false)
+    // IVF path (native NearestCentroid assignment) + banded hyperplane LSH
+    // (native HyperplaneSig) + fused native CosineSim under all of them
+    Similarity.ivfTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 3).show(6, false)
+    println(s"[smoke] embedding_pairs(cos>=0.99)=${Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.99).count()}")
 
     // NER output surface on the synthesized pages.
     val nerIn = Linkage.extract(pages.limit(200))
@@ -120,6 +125,13 @@ object Smoke {
     val m2 = Snapshots.metrics(spark, root).count()
     println(s"[smoke] resumable: metrics_after_run1=$m1 after_run2=$m2 (equal = resumed), " +
       s"lineage_files=${Snapshots.lineage(spark, root).count()}")
+    // state management over an explicit file: FileSystem URI (the Hadoop
+    // StateFs path a cluster's hdfs://s3a:// root takes)
+    val uriRoot = "file:" + java.nio.file.Files.createTempDirectory("smoke-uri").toString
+    ResumableLinkage.run(spark, small, "smoke-600", uriRoot, bIdx2).count()
+    println(s"[smoke] uri-rooted snapshots: committed=${
+      Seq("prepared", "scored", "components", "entities")
+        .map(st => Snapshots.committedSnaps(uriRoot, st).size).sum} (expect 4)")
 
     ents.explain("formatted")
     spark.stop()
