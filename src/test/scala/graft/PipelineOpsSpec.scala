@@ -179,6 +179,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"expected ANSI divide-by-zero from the HOF shape, got: ${thrown.getMessage.take(120)}")
   }
 
+  test("native expressions ≡ Column formulations on seeded random fuzz") {
+    // 400 random strings (unusual whitespace mixes, unicode, repeats) and
+    // 200 random vectors (varied dims, negatives, tiny/huge magnitudes) —
+    // the corpus-based property tests above can't cover these shapes
+    val rnd = new scala.util.Random(20260817L)
+    val wsPool = " \t\n\f  "
+    val tokPool = Vector("ev", "mahalle", "çiğdem", "x", "1071", "İzmİr",
+      "a-b", "12.5", "über", "şğü", "", "longtokenwithmanychars")
+    val fuzzStrings = (1 to 400).map { _ =>
+      (1 to rnd.nextInt(14)).map { _ =>
+        tokPool(rnd.nextInt(tokPool.size)) +
+          (1 to rnd.nextInt(3)).map(_ => wsPool(rnd.nextInt(wsPool.length))).mkString
+      }.mkString
+    }
+    val sf = fuzzStrings.toDF("text").repartition(4)
+      .select(
+        TextFunctions.shingles(col("text"), 3).as("sh_n"),
+        TextFunctions.shinglesColumns(col("text"), 3).as("sh_c"))
+      .withColumn("sig_n", Dedup.minhashSignature(col("sh_n"), 32))
+      .withColumn("sig_c", Dedup.minhashSignatureColumns(col("sh_c"), 32))
+    assert(sf.filter(not(col("sh_n") <=> col("sh_c"))).count() == 0, "shingle fuzz")
+    assert(sf.filter(not(col("sig_n") <=> col("sig_c"))).count() == 0, "minhash fuzz")
+
+    val fuzzVecs = (1 to 200).map { i =>
+      val dim = 1 + rnd.nextInt(48)
+      (i.toLong, Array.fill(dim)((rnd.nextGaussian() *
+        math.pow(10, rnd.nextInt(7) - 3)).toFloat))
+    }
+    val vf = fuzzVecs.toDF("id", "v").repartition(4)
+      .select(
+        Dedup.hyperplaneSignature(col("v"), 24).as("hp_n"),
+        Dedup.hyperplaneSignatureColumns(col("v"), 24).as("hp_c"),
+        Dedup.cosine(col("v"), reverse(col("v"))).as("cos_n"),
+        Dedup.cosineColumns(col("v"), reverse(col("v"))).as("cos_c"))
+    assert(vf.filter(not(col("hp_n") <=> col("hp_c"))).count() == 0, "hyperplane fuzz")
+    assert(vf.filter(not(col("cos_n") <=> col("cos_c"))).count() == 0, "cosine fuzz")
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     // plant: copy 3 docs with one word changed (high shingle overlap)
     val mutated = docs.limit(3)
