@@ -487,6 +487,24 @@ object NerOutputs {
       out.exists { case (_, s2, e2) => s < e2 && s2 < e }
     }
 
+    // --- 3.2 closed-class IL sweep: the 81 provinces are reference-table
+    // data (the full PTT gazetteer's `il` column — every real deployment
+    // loads it), so any still-uncovered token naming one is an IL span.
+    // This only ADDS spans the bestMatch probe missed — bestMatch picks ONE
+    // name per sentence, so "yalikavak bodrum mugla" with a mined index
+    // that doesn't know mugla previously dropped every mugla mention.
+    // Running AFTER phase 3 keeps keyword evidence and the probe's choices
+    // untouched; running BEFORE 3.4 lets the positional-district rule key
+    // off the new IL spans ("bodrum mugla" → bodrum becomes ILCE).
+    {
+      var k = 0
+      while (k < T) {
+        if (graft.sources.Gazetteer.AllProvinceSet(tokens(k)) && !covered(k))
+          out += (("IL", k, k + 1))
+        k += 1
+      }
+    }
+
     // --- 3.4 positional ILCE: the name run immediately before a recognized
     // province is the district ("koycegiz mugla", "soke / aydin") — the
     // leave-one-out mined dictionary cannot know districts that only appear

@@ -268,6 +268,33 @@ object Gazetteer {
       pairToNbhds: Map[(String, String), Set[String]],
       distToNbhdUnion: Map[String, Set[String]]) extends Serializable
 
+  /** The real 81 Turkish province names in static-normalized form — the
+    * closed-class `il` column of the reference's PTT gazetteer
+    * (data/ptt_data/turkiye_posta_kodlari.xlsx, 73,306 rows incl. header;
+    * the same table map.py:82-88 loads, so the reference's own parser
+    * always knows every one of them). Closed-class reference data, like
+    * the keyword families — NOT corpus-mined annotation knowledge, so the
+    * NER surface may use it without breaking leave-one-corpus-out
+    * discipline. */
+  val AllProvinces: Seq[String] = Seq(
+    "adana", "adiyaman", "afyonkarahisar", "agri", "aksaray", "amasya",
+    "ankara", "antalya", "ardahan", "artvin", "aydin", "balikesir",
+    "bartin", "batman", "bayburt", "bilecik", "bingol", "bitlis",
+    "bolu", "burdur", "bursa", "canakkale", "cankiri", "corum",
+    "denizli", "diyarbakir", "duzce", "edirne", "elazig", "erzincan",
+    "erzurum", "eskisehir", "gaziantep", "giresun", "gumushane", "hakkari",
+    "hatay", "igdir", "isparta", "istanbul", "izmir", "kahramanmaras",
+    "karabuk", "karaman", "kars", "kastamonu", "kayseri", "kilis",
+    "kirikkale", "kirklareli", "kirsehir", "kocaeli", "konya", "kutahya",
+    "malatya", "manisa", "mardin", "mersin", "mugla", "mus",
+    "nevsehir", "nigde", "ordu", "osmaniye", "rize", "sakarya",
+    "samsun", "sanliurfa", "siirt", "sinop", "sirnak", "sivas",
+    "tekirdag", "tokat", "trabzon", "tunceli", "usak", "van",
+    "yalova", "yozgat", "zonguldak")
+
+  /** [[AllProvinces]] as a Set for O(1) membership in token sweeps. */
+  val AllProvinceSet: Set[String] = AllProvinces.toSet
+
   def buildTokenIndex(names: Iterable[String]): TokenIndex =
     names.toSeq.distinct.flatMap { name =>
       val toks = name.split(" ").filter(_.nonEmpty)
