@@ -356,7 +356,7 @@ class NerBioSpec extends AnyFunSuite {
     // micro F1 (P .921 / R .858) — above the reference's fine-tuned BERT
     // (0.7492 on a 20-sample slice). Deterministic pipeline; the gate sits
     // just under the measured value.
-    assert(micro._3 >= 0.87, f"gold micro F1 ${micro._3}%.4f regressed")
+    assert(micro._3 >= 0.885, f"gold micro F1 ${micro._3}%.4f regressed") // 0.8927 at round-4 HEAD
     // per-HELD-OUT-corpus: the two substantive corpora each clear the bar on
     // their own (corpus 2, baris_250, has only 2 usable sentences — reported
     // but not gated)
