@@ -496,9 +496,17 @@ object NerOutputs {
     // Running AFTER phase 3 keeps keyword evidence and the probe's choices
     // untouched; running BEFORE 3.4 lets the positional-district rule key
     // off the new IL spans ("bodrum mugla" → bodrum becomes ILCE).
+    //
+    // Homonym guard: several province names are common nouns (ordu=army,
+    // agri=pain, van, mus, kars), so the sweep only fires in sentences with
+    // STRUCTURAL address evidence — some non-landmark span already present
+    // (admin probe, mah/sk/cad/no/kat family, postcode). A lone TARIF
+    // phrase ("ordu evi karsisi") or plain prose mentioning a province-named
+    // noun stays untouched.
     {
+      val addressy = out.exists { case (tp, _, _) => tp != "TARIF" }
       var k = 0
-      while (k < T) {
+      while (addressy && k < T) {
         if (graft.sources.Gazetteer.AllProvinceSet(tokens(k)) && !covered(k))
           out += (("IL", k, k + 1))
         k += 1
