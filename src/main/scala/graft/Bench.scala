@@ -7,10 +7,15 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): runs the headline queries on
   * `SPARK_GRAFT_SF_DIR` at `local[SPARK_GRAFT_CPUS]`, prints ONE JSON line.
   *
-  * Robustness (round-2 verdict items):
-  *  - best-of-2 per query — the first pass absorbs JVM/JIT/page-cache warm-up
-  *    and host contention spikes (the round-1 official record was 3.7× the
-  *    reproducible number on a single cold run);
+  * Robustness (round-2 + round-4 verdict items):
+  *  - best-of-N per query over INTERLEAVED suite passes (pass 1 runs every
+  *    query, then pass 2, …) — the first pass absorbs JVM/JIT/page-cache
+  *    warm-up, and a query's samples land minutes apart so one sustained
+  *    contended host window can't poison all of them (the round-4 official
+  *    record's failure mode); a fixed-work calibration probe brackets each
+  *    pass and its times + every per-query sample are recorded in the JSON
+  *    (`calibration_secs`, `contention_ratio`, `samples`) so a noisy window
+  *    is visible in-record;
   *  - failures are RECORDED, not swallowed: a crashing query lands in
   *    `failed` with its message and is excluded from `total`/`pages_per_sec`;
   *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` (default
@@ -45,41 +50,57 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = Sessions.local("graft-bench", cpus)
 
-    // (name, best-time-or-None, errorMessage)
-    val results: Seq[(String, Option[Double], Option[String])] =
-      headline.flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
-          var best = Double.MaxValue
-          var err: Option[String] = None
-          var r = 0
-          while (r < runs) {
-            val t0 = System.nanoTime()
-            try {
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              val sec = (System.nanoTime() - t0) / 1e9
-              best = math.min(best, sec)
-            } catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] $name run ${r + 1} failed: ${e.getMessage}")
-                err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-            }
-            r += 1
-          }
-          // dedup intermediates are per-invocation: release between queries
-          // so best-of-N doesn't accumulate cache blocks across the suite
-          // (the shared linkage-pipeline cache in Queries is deliberately kept)
-          graft.operators.Dedup.releaseCaches(spark)
-          // a query is failed only if NO run succeeded — a valid measurement
-          // from run 1 is not discarded by a transient failure on run 2
-          // (round-2 ADVICE); the error is still reported alongside.
-          (name, if (best < Double.MaxValue) Some(best) else None, err)
-        }
-      }
+    // Contention-proofing (round-4 verdict item 2): the per-query samples are
+    // taken in INTERLEAVED suite passes — pass 1 runs every query, then pass
+    // 2 — so a query's N samples are minutes apart and one sustained
+    // contended host window cannot poison both samples of many queries at
+    // once (the round-4 official record did exactly that: back-to-back
+    // best-of-2 with a window that outlived both runs). A fixed-work
+    // calibration probe (sum of xxhash64 over a fixed range — pure CPU, no
+    // I/O, deterministic plan) runs before each pass and once at the end;
+    // all probe times land in the JSON, so a contended window is FLAGGED IN
+    // THE RECORD (`contention_ratio` = max/min probe time) instead of
+    // silently becoming the record.
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1, cpus.toInt)
+        .selectExpr("sum(xxhash64(id)) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // JIT warm-up for the probe plan itself; discarded
+    val calib = scala.collection.mutable.ArrayBuffer[Double]()
 
-    val ok = results.collect { case (n, Some(t), _) => n -> t }
-    val failed = results.collect { case (n, None, Some(m)) => n -> m }
-    // succeeded at least once but also had a failing run — timing kept
-    val flaky = results.collect { case (n, Some(_), Some(m)) => n -> m }
+    val names = headline.filter(SparkEntry.queries.contains)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (_ <- 1 to runs) {
+      calib += probe()
+      for (name <- names) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          samples(name) += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        // dedup intermediates are per-invocation: release between queries so
+        // the suite doesn't accumulate cache blocks across passes (the
+        // shared linkage-pipeline cache in Queries is deliberately kept)
+        graft.operators.Dedup.releaseCaches(spark)
+      }
+    }
+    calib += probe()
+
+    // a query is failed only if NO pass succeeded — a valid measurement from
+    // pass 1 is not discarded by a transient failure on pass 2 (round-2
+    // ADVICE); the error is still reported alongside.
+    val ok = names.collect { case n if samples(n).nonEmpty => n -> samples(n).min }
+    val failed = names.collect { case n if samples(n).isEmpty && errs.contains(n) => n -> errs(n) }
+    val flaky = names.collect { case n if samples(n).nonEmpty && errs.contains(n) => n -> errs(n) }
 
     // North-rule throughput: pages through the FULL cold scored pipeline
     // (synthesize→extract→normalize→block→pair→score) per second. The
@@ -117,8 +138,13 @@ object Bench {
     val fl = flaky.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val sampJson = names.map { n =>
+      "\"" + n + "\":" + samples(n).map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val calibJson = calib.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val contention = if (calib.nonEmpty) calib.max / calib.min else 1.0
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"flaky":$fl,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"cold_pipeline_secs":$coldJson,"runs_per_query":$runs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$sampJson,"failed":$fs,"flaky":$fl,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"cold_pipeline_secs":$coldJson,"calibration_secs":$calibJson,"contention_ratio":$contention%.2f,"runs_per_query":$runs}"""
     println(json)
     // sentinel line so the driver's parser finds the record in sbt log noise
     // ("parsed": null in BENCH_r01/r02) regardless of surrounding output

@@ -573,6 +573,30 @@ object Queries {
         | FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
         |SELECT query_id, neighbor_id, round(round(c, 6), 2) AS cos, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // PPJoin prefix filtering is EXACT (nothing pruned that could pass the
+    // threshold), so the brute-force all-pairs twin must match row-for-row:
+    // word-3-grams from the same regex-\s tokenization, distinct per doc,
+    // |a∩b| counted from the exploded shingle relation (the engine's own
+    // verification shape), jaccard filtered UNROUNDED at 0.8 then rounded to
+    // 6dp — mirroring Spark's filter-then-round composition.
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ls
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(ls) - 1),
+        |   i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS shl
+        | FROM toks),
+        |s AS (
+        | SELECT doc_id, len(shl) AS nsh, unnest(shl) AS shingle FROM g WHERE len(shl) > 0),
+        |inter AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS nsh_a, b.nsh AS nsh_b,
+        |  count(*) AS i
+        | FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, round(i * 1.0 / (nsh_a + nsh_b - i), 6) AS jaccard
+        |FROM inter WHERE i * 1.0 / (nsh_a + nsh_b - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_dedup" ->
       """WITH planted AS (
         | SELECT vec_id, embedding FROM embeddings

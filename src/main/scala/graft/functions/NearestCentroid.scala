@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *    u*v)` multiplies float×float in float, then promotes each product to
   *    double for the running sum) vs the all-double path for double vectors;
   *  - the division order `dot(v,c) / sqrt(dot(v,v)) / sqrt(dot(c,c))`;
-  *  - Spark's nan-safe GreaterThan in the fold (an all-zero vector scores
-  *    NaN against every centroid and lands in cell 0 — NaN beats the -2.0
-  *    init and nothing beats NaN);
+  *  - Spark's nan-safe GreaterThan in the fold: an all-NaN vector scores NaN
+  *    against every centroid and lands in cell 0 (NaN beats the -2.0 init
+  *    and nothing beats NaN), while a ZERO-NORM vector yields cell -1 — its
+  *    cosines are all null (CosineSim's null-on-zero-norm), no cell ever
+  *    beats the init (see the vv == 0.0 guard below);
   *  - null-element poisoning (a null element nulls every cosine, so no cell
   *    ever beats the init and the fold returns cell -1).
   *

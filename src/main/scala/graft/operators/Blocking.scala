@@ -69,7 +69,99 @@ object Blocking {
     concat_ws("_", substring(postcode(normCol), 1, 3), phon)
   }
 
-  /** Skew-salted candidate-pair self-join.
+  /** Generic skew-salted self-join: every candidate-pair generator in the
+    * engine (blocking keys, MinHash/SimHash/hyperplane band buckets, PPJoin
+    * prefix shingles) routes through this ONE fan-out so the bounded-task
+    * property is proved once and inherited everywhere. A plain self-join on
+    * the key concentrates a hot key's entire quadratic pair fan-out in ONE
+    * task (a boilerplate duplicate family in a crawl, a high-frequency
+    * shingle); AQE can split skewed input partitions but not the quadratic
+    * growth inside a single key (round-4 verdict item 1).
+    *
+    * Each key group of size c is split into s = ceil(c/maxBlock) salt buckets
+    * and its pair space fans over the s·(s+1)/2 (i,j) bucket-pair tasks, so
+    * the largest task is O(maxBlock²) regardless of skew; normal-sized groups
+    * keep s = 1 and pay nothing extra.
+    *
+    * Output orientation is NORMALIZED: `<id>_a < <id>_b` always (payloads
+    * swap with their ids), so the result is deterministic and independent of
+    * which triangle side a row landed on.
+    *
+    * @param df          one row per (key, record) — a record may appear under
+    *                    several keys (LSH bands); the same unordered pair then
+    *                    appears once PER shared key, exactly like the plain
+    *                    self-join (callers dedup/aggregate downstream)
+    * @param keyCols     join-key column names (rows with a null key never
+    *                    match in a plain inner self-join and are dropped here)
+    * @param idCol       unique record id column (orders pairs; any orderable type)
+    * @param payloadCols extra columns carried to both sides (suffixed _a/_b)
+    * @param maxBlock    target max records per salt bucket
+    * @return one row per (key, unordered pair): keyCols, <id>_a, <id>_b, payloads
+    */
+  def saltedSelfJoin(df: DataFrame, keyCols: Seq[String], idCol: String,
+                     payloadCols: Seq[String], maxBlock: Int = 1000): DataFrame = {
+    val rows = df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+
+    // Per-key salt-bucket count s = ceil(count / maxBlock), as a WINDOW over
+    // the key: one exchange of the rows (plus a local sort for WindowExec)
+    // instead of the round-2 groupBy + join-back, which shuffled the rows
+    // relation twice on the same key — measured as the bulk of the 8→32 plan
+    // overhead.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    val salted = rows
+      .withColumn("__s",
+        ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__s")).cast("int"))
+
+    // Triangle fan-out: left emits (i=salt, j) for j in [salt, s); right emits
+    // (i, j=salt) for i in [0, salt]. Each unordered pair meets in exactly one
+    // (key, i, j) task; equal-salt duplicates are removed by the id order test.
+    val left = salted
+      .withColumn("__i", col("__salt"))
+      .withColumn("__j", explode(sequence(col("__salt"), col("__s") - 1)))
+      .drop("__s", "__salt")
+    val right = salted
+      .withColumn("__j", col("__salt"))
+      .withColumn("__i", explode(sequence(lit(0), col("__salt"))))
+      .drop("__s", "__salt")
+
+    // AQE coalescing is BLIND to join-output amplification: the map-side
+    // bytes of these inputs are tiny relative to the quadratic pair fan-out
+    // inside each (key,i,j) task, so AQE would happily coalesce the exchange
+    // to one partition and run the whole pair space single-threaded
+    // (observed: 207 s on 1 task vs 15 s on 32). Explicit repartition on the
+    // join keys pins the partition count — user repartitions are never
+    // coalesced — and the join reuses it with no extra exchange.
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val joinKeys = keyCols ++ Seq("__i", "__j")
+    val lRen = left.select(joinKeys.map(col) ++ Seq(col(idCol).as("__id_l")) ++
+      payloadCols.map(p => col(p).as(s"__${p}_l")): _*)
+      .repartition(numParts, joinKeys.map(col): _*)
+    val rRen = right.select(joinKeys.map(col) ++ Seq(col(idCol).as("__id_r")) ++
+      payloadCols.map(p => col(p).as(s"__${p}_r")): _*)
+      .repartition(numParts, joinKeys.map(col): _*)
+
+    val joined = lRen.join(rRen, joinKeys)
+      .filter(col("__i") =!= col("__j") || col("__id_l") < col("__id_r"))
+
+    // orientation normalization: which triangle side a record fans to is a
+    // function of its salt, so without this the a/b order of cross-bucket
+    // pairs would depend on maxBlock — `fwd` re-orders each pair (and its
+    // payloads) by id so salted ≡ unsalted holds ROW-identically.
+    val fwd = col("__id_l") < col("__id_r")
+    def pick(lc: String, rc: String) = when(fwd, col(lc)).otherwise(col(rc))
+    joined.select(keyCols.map(col) ++ Seq(
+      pick("__id_l", "__id_r").as(s"${idCol}_a"),
+      pick("__id_r", "__id_l").as(s"${idCol}_b")) ++
+      payloadCols.flatMap(p => Seq(
+        pick(s"__${p}_l", s"__${p}_r").as(s"${p}_a"),
+        pick(s"__${p}_r", s"__${p}_l").as(s"${p}_b"))): _*)
+  }
+
+  /** Skew-salted candidate-pair self-join on a single blocking key — the
+    * linkage-pipeline entry point over [[saltedSelfJoin]]. Drops empty-string
+    * keys (records with no postcode/street evidence would otherwise form one
+    * junk mega-block).
     *
     * @param df          input with one row per record
     * @param keyCol      blocking-key column name
@@ -80,49 +172,9 @@ object Blocking {
     */
   def candidatePairs(df: DataFrame, keyCol: String, idCol: String,
                      payloadCols: Seq[String], maxBlock: Int = 1000): DataFrame = {
-    val cols = Seq(col(keyCol).as("bk"), col(idCol).as("id")) ++ payloadCols.map(col)
-    val rows = df.select(cols: _*).filter(col("bk").isNotNull && col("bk") =!= "")
-
-    // Per-block salt-bucket count s = ceil(count / maxBlock), as a WINDOW over
-    // bk: one exchange of the rows (plus a local sort for WindowExec) instead
-    // of the round-2 groupBy + join-back, which shuffled the rows relation
-    // twice on the same key — measured as the bulk of the 8→32 plan overhead.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bk")
-    val salted = rows
-      .withColumn("s",
-        ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int"))
-      .withColumn("salt", pmod(xxhash64(col("id")), col("s")).cast("int"))
-
-    // Triangle fan-out: left emits (i=salt, j) for j in [salt, s); right emits
-    // (i, j=salt) for i in [0, salt]. Each unordered pair meets in exactly one
-    // (bk, i, j) task; equal-salt duplicates are removed by the id order test.
-    val left = salted
-      .withColumn("i", col("salt"))
-      .withColumn("j", explode(sequence(col("salt"), col("s") - 1)))
-      .drop("s", "salt")
-    val right = salted
-      .withColumn("j", col("salt"))
-      .withColumn("i", explode(sequence(lit(0), col("salt"))))
-      .drop("s", "salt")
-
-    // AQE coalescing is BLIND to join-output amplification: the map-side
-    // bytes of these inputs are tiny relative to the quadratic pair fan-out
-    // inside each (bk,i,j) task, so AQE would happily coalesce the exchange
-    // to one partition and run the whole pair space single-threaded
-    // (observed: 207 s on 1 task vs 15 s on 32). Explicit repartition on the
-    // join keys pins the partition count — user repartitions are never
-    // coalesced — and the join reuses it with no extra exchange.
-    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val lRen = left.select(Seq(col("bk"), col("i"), col("j"), col("id").as(s"${idCol}_a")) ++
-      payloadCols.map(p => col(p).as(s"${p}_a")): _*)
-      .repartition(numParts, col("bk"), col("i"), col("j"))
-    val rRen = right.select(Seq(col("bk"), col("i"), col("j"), col("id").as(s"${idCol}_b")) ++
-      payloadCols.map(p => col(p).as(s"${p}_b")): _*)
-      .repartition(numParts, col("bk"), col("i"), col("j"))
-
-    lRen.join(rRen, Seq("bk", "i", "j"))
-      .filter(col("i") =!= col("j") || col(s"${idCol}_a") < col(s"${idCol}_b"))
-      .drop("i", "j")
+    val cols = Seq(col(keyCol).as("bk"), col(idCol).as(idCol)) ++ payloadCols.map(col)
+    val rows = df.select(cols: _*).filter(col("bk") =!= "")
+    saltedSelfJoin(rows, Seq("bk"), idCol, payloadCols, maxBlock)
       .withColumnRenamed("bk", "block_key")
   }
 }

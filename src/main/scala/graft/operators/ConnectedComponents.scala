@@ -190,14 +190,32 @@ object ConnectedComponents {
     * silently yields split components) — LinkageSpec proves equality with
     * [[runOnStrings]] on the real match graph; general graphs (e.g. LSH
     * band buckets, where one doc joins several buckets) must use [[run]].
+    * `validate = true` turns the silent hazard into a loud one: it counts
+    * nodes that appear under more than one group key (the exact way a graph
+    * violates block-partitioning — such a node bridges two groups and the
+    * grouped union-find would split its true component) and fails fast when
+    * any exist. One extra node-set aggregate; off by default for the
+    * proven-by-construction pipeline call sites, on for exploratory callers.
     *
     * @param edges (groupCol, src, dst) string columns; no self-loops (the
     *              pair join never emits (x, x) — on a self-loop-only node
     *              this keeps a singleton where the star iteration drops it)
+    * @param validate fail fast if any node spans two group keys
     * @return (id, component): component = min member string, identical to
     *         [[runOnStrings]] output under the precondition. */
-  def runGrouped(edges: DataFrame, groupCol: String): DataFrame = {
+  def runGrouped(edges: DataFrame, groupCol: String,
+                 validate: Boolean = false): DataFrame = {
     import edges.sparkSession.implicits._
+    if (validate) {
+      val nodes = edges.select(col(groupCol).cast("string").as("g"), col("src").as("id"))
+        .union(edges.select(col(groupCol).cast("string").as("g"), col("dst").as("id")))
+      val spanning = nodes.groupBy("id").agg(countDistinct(col("g")).as("ng"))
+        .filter(col("ng") > 1).count()
+      require(spanning == 0,
+        s"runGrouped precondition violated: $spanning node(s) appear under more " +
+          "than one group key — components would be silently split; use run/" +
+          "runOnStrings for graphs that are not partitioned by the group key")
+    }
     edges.select(col(groupCol).cast("string"), col("src"), col("dst"))
       .as[(String, String, String)]
       .groupByKey(_._1)

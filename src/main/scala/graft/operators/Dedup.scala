@@ -12,7 +12,10 @@ import graft.functions.TextFunctions
   * Scale posture: every variant is blocking-based — candidate pairs only ever
   * form inside hash buckets (LSH bands, SimHash prefixes, cosine LSH bands),
   * so cost is Σ block² not n², and each groupBy/join shuffles on a well-spread
-  * key. Candidate JOINS carry only (id, band, bucket) — never the shingle
+  * key. Every candidate self-join routes through
+  * [[Blocking.saltedSelfJoin]], so a hot bucket's quadratic fan-out is capped
+  * at O(maxBucket²) per task and the join partitioning is pinned against
+  * AQE's amplification-blind coalescing. Candidate JOINS carry only (id, band, bucket) — never the shingle
   * sets or embedding vectors themselves (payload through the banded shuffle
   * is what kills these at 100 TB); verification re-attaches per-id state via
   * skinny equi-joins, and set overlap is counted from the EXPLODED shingle
@@ -147,10 +150,15 @@ object Dedup {
     * `numHashes/bands` rows; docs sharing any band bucket become candidate
     * pairs; candidates are verified with exact shingle-set Jaccard
     * (co-occurrence counted, arrays never shuffled) and kept at `threshold`.
-    * Returns verified near-duplicate pairs (id_a < id_b, jaccard). */
+    * Returns verified near-duplicate pairs (id_a < id_b, jaccard).
+    *
+    * The banded self-join runs through [[Blocking.saltedSelfJoin]]: a hot
+    * band bucket (a boilerplate duplicate family sharing one signature slice)
+    * otherwise concentrates its quadratic candidate fan-out in ONE task —
+    * `maxBucket` bounds every task at O(maxBucket²) pairs. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // per-id shingle state, computed once and reused by the signature branch,
     // the size branch, and the exploded verification branch
@@ -168,10 +176,9 @@ object Dedup {
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val cand = Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id",
+        Seq.empty, maxBucket)
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
 
     verifiedJaccard(cand, sets)
@@ -222,21 +229,20 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 16-bit prefix bands (4 bands ⇒ any pair
     * within Hamming distance 3 shares at least one identical band), verify
-    * exact Hamming distance ≤ maxHamming. */
+    * exact Hamming distance ≤ maxHamming. The banded self-join is skew-salted
+    * ([[Blocking.saltedSelfJoin]]); the 8-byte `sim` rides as payload —
+    * verification is a per-row xor/popcount, no re-join needed. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val withSim = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), simhash(col("text")).as("sim"))
     val banded = withSim.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val hamming = bit_count(col("l.sim").bitwiseXOR(col("r.sim")))
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        hamming.as("hamming"))
+    Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id", Seq("sim"), maxBucket)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
@@ -264,7 +270,8 @@ object Dedup {
     * the exploded relation (no arrays through any shuffle — round-1's
     * carry-both-arrays + array_intersect plan was 35% of the whole bench). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxBucket: Int = 1000): DataFrame = {
     val sets = trackPersist(
       spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
         .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), n)).as("sh"))
@@ -283,13 +290,19 @@ object Dedup {
       .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select(col("shingle"), col("id"), col("nsh"), col("rk"))
 
-    // candidates: docs sharing any prefix shingle, with size + positional prunes
+    // candidates: docs sharing any prefix shingle, with size + positional
+    // prunes. The prefix self-join is skew-salted ([[Blocking.saltedSelfJoin]]):
+    // prefixes are the RAREST shingles so hot keys are unlikely by design,
+    // but an adversarial corpus (one boilerplate phrase in every document's
+    // prefix) would otherwise put that shingle's whole quadratic fan-out in
+    // one task — and the explicit repartition pin inside saltedSelfJoin also
+    // protects this join from AQE's amplification-blind coalescing (the
+    // documented 207-s-on-1-task failure mode).
     val alpha = ceil(lit(threshold) / (1 + threshold) * (col("nsh_a") + col("nsh_b")))
-    val cand = prefix.as("l").join(prefix.as("r"),
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.nsh").as("nsh_a"), col("r.nsh").as("nsh_b"))
-      .agg(min(col("l.rk")).as("ra"), min(col("r.rk")).as("rb"))
+    val cand = Blocking.saltedSelfJoin(prefix, Seq("shingle"), "id",
+        Seq("nsh", "rk"), maxBucket)
+      .groupBy(col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"))
+      .agg(min(col("rk_a")).as("ra"), min(col("rk_b")).as("rb"))
       .filter(least(col("nsh_a"), col("nsh_b")) * lit(1.0)
         / greatest(col("nsh_a"), col("nsh_b")) >= threshold)
       .filter(lit(1) + least(col("nsh_a") - col("ra"), col("nsh_b") - col("rb")) >= alpha)
@@ -351,7 +364,7 @@ object Dedup {
     * re-attached to the deduplicated pairs by id. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      planes: Int = 24, bands: Int = 4,
-                     threshold: Double = 0.95): DataFrame = {
+                     threshold: Double = 0.95, maxBucket: Int = 1000): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
     val bits = planes / bands
     val mask = (1L << bits) - 1
@@ -364,10 +377,12 @@ object Dedup {
         b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // skew-salted banded self-join: an embedding duplicate family shares all
+    // band buckets, so without salting one bucket would hold the family's
+    // entire quadratic candidate fan-out in a single task
+    val cand = Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id",
+        Seq.empty, maxBucket)
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     val vecs = withSig.select(col("id"), col("vec"))

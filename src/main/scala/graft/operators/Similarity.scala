@@ -22,15 +22,37 @@ object Similarity {
 
   import Dedup.cosine
 
+  /** The brute-force paths broadcast the query vectors against the whole
+    * corpus through a BroadcastNestedLoopJoin (deliberate: they are the
+    * EXACT baselines, and a non-equi self-exclusion join has no hash
+    * strategy). That design is only sound while the query side stays
+    * broadcast-sized — this cap makes the contract explicit instead of
+    * letting a future caller point an unbounded query set at a nested-loop
+    * join (round-4 verdict item 5). 10k queries × a 1 KB vector ≈ 10 MB,
+    * comfortably under Spark's broadcast limits. */
+  val MaxBruteForceQueries = 10000
+
+  private def requireBroadcastable(queryIds: Seq[Long]): Unit =
+    require(queryIds.size <= MaxBruteForceQueries,
+      s"${queryIds.size} query ids: the brute-force ANN paths broadcast the " +
+        s"query set through a nested-loop join — cap is $MaxBruteForceQueries; " +
+        "use ivfTopK (equi-join on cells) for large query sets")
+
   /** Exact top-k cosine neighbors for each query id (queries must be a small,
-    * broadcastable subset). Output: (query_id, neighbor_id, cos, rank). */
+    * broadcastable subset — see [[MaxBruteForceQueries]]).
+    * Output: (query_id, neighbor_id, cos, rank). Degenerate corpus vectors
+    * (zero-norm/null → null cosine) are EXCLUDED before ranking: CosineSim's
+    * null-on-zero-norm means "matches nothing", and without the filter a
+    * null-cos row could still claim a rank when a query has ≤ k candidates. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    requireBroadcastable(queryIds)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
     val q = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scoredAll = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qvec"), col("vec")))
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scoredAll.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -125,20 +147,27 @@ object Similarity {
     // assign each corpus vector to its nearest cell — shuffle-free projection
     val assigned = assignCells(corpus, idCol, vecCol, sample)
 
-    // queries probe their nprobe nearest cells
+    // queries probe their nprobe nearest cells (null-d rows — a degenerate
+    // zero-norm query against any centroid — are dropped before ranking so
+    // they can't claim probe slots; such a query matches nothing, by the
+    // same null-on-zero-norm contract as the scoring filter below)
     val q = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("d", cosine(col("qvec"), col("cvec")))
+      .filter(col("d").isNotNull)
     val wProbe = Window.partitionBy("query_id").orderBy(col("d").desc, col("cell"))
     val probes = q.withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
 
-    // equi-join on cell: each query scans only its probed cells
+    // equi-join on cell: each query scans only its probed cells; null-cosine
+    // candidates (zero-norm corpus vectors) match nothing — filtered before
+    // the rank window so they can't appear in a thin query's top-k
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qvec"), col("vec")))
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -150,6 +179,7 @@ object Similarity {
     * a threshold is more stable than a rank cut). */
   def thresholdPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      queryIds: Seq[Long], minCos: Double): DataFrame = {
+    requireBroadcastable(queryIds)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
     val q = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))

@@ -32,9 +32,15 @@ object StateFs {
     * re-cloning per call is pure overhead. Weak keys: the Configuration
     * value holds no reference back to its session, so entries vanish with
     * the session instead of pinning it. */
-  // TTL'd so runtime conf changes (e.g. refreshed object-store credentials
-  // set via spark.conf.set mid-session) are picked up within a minute while
-  // the tight listing loops still hit the cache.
+  // TTL'd so FileSystem instances created AFTER a runtime conf change (e.g.
+  // refreshed object-store credentials set via spark.conf.set) see the new
+  // values within a minute while the tight listing loops still hit the
+  // cache. Note the limit: Path.getFileSystem returns Hadoop's cached FS
+  // keyed by scheme/authority/UGI, built with the FIRST conf it saw — a
+  // fresh Configuration does not reconfigure that cached instance. Where
+  // credential rotation genuinely matters, set
+  // `fs.<scheme>.impl.disable.cache=true` (or use FileSystem.newInstance)
+  // so each conf refresh yields a freshly configured FS.
   private val ConfTtlNanos = 60L * 1000 * 1000 * 1000
   private val confCache =
     new java.util.WeakHashMap[SparkSession, (Configuration, Long)]()

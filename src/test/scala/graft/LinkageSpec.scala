@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Blocking, ConnectedComponents, Eval, Linkage, Scoring, StaticParser}
+import graft.operators.{Blocking, ConnectedComponents, Eval, Linkage, Scoring, Similarity, StaticParser}
 import graft.sources.Pages
 
 /** The north-rule gates: pairwise F1 ≥ 0.99 on labeled pairs at shared
@@ -225,6 +225,41 @@ class LinkageSpec extends AnyFunSuite {
     val bad = ents.groupBy("entity_id").agg(collect_set("url").as("urls"))
       .filter(!array_contains(col("urls"), col("entity_id"))).count()
     assert(bad == 0, s"$bad entity ids are not member urls")
+  }
+
+  test("runGrouped validate: rejects a graph whose node spans two groups") {
+    // node "x" bridges groups g1 and g2: a–x–b is ONE component, but the
+    // grouped union-find (correct only for block-partitioned graphs) would
+    // split it — validate=true must fail fast instead
+    val bad = Seq(("g1", "a", "x"), ("g2", "x", "b")).toDF("block_key", "src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.runGrouped(bad, "block_key", validate = true).count()
+    }
+    assert(e.getMessage.contains("precondition violated"))
+    // and the silent-hazard shape it guards: without validate, x lands in
+    // one group's component and the other side splits
+    val comps = ConnectedComponents.runGrouped(bad, "block_key")
+      .as[(String, String)].collect().toMap
+    assert(comps.values.toSet.size == 2, "expected the documented silent split")
+    // a genuinely block-partitioned graph passes validation unchanged
+    val good = Seq(("g1", "a", "x"), ("g1", "x", "b"), ("g2", "c", "d"))
+      .toDF("block_key", "src", "dst")
+    val ok = ConnectedComponents.runGrouped(good, "block_key", validate = true)
+      .as[(String, String)].collect().toMap
+    assert(ok("b") == "a" && ok("x") == "a" && ok("d") == "c")
+  }
+
+  test("brute-force ANN paths reject an unbroadcastable query set") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tooMany = (0L until (Similarity.MaxBruteForceQueries + 1).toLong)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", tooMany)
+    }
+    assert(e1.getMessage.contains("nested-loop"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.thresholdPairs(emb, "vec_id", "embedding", tooMany, 0.5)
+    }
+    assert(e2.getMessage.contains("nested-loop"))
   }
 
   test("salted candidate pairs equal unsalted pairs (skew correctness)") {

@@ -286,6 +286,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("dedup candidate joins: salted ≡ unsalted on a forced hot bucket") {
+    // 40 identical copies of one document share EVERY band bucket of every
+    // LSH family — exactly the hot-bucket pathology the salted triangle join
+    // bounds (round-4 verdict item 1). Output must be row-identical whether
+    // the family fans over many salt tasks (maxBucket=5 ⇒ s=9 buckets for
+    // the 41-member key) or none (maxBucket huge ⇒ s=1, the plain join).
+    val fam = docs.limit(1).select(col("text"))
+      .crossJoin(spark.range(40).select(col("id").as("k")))
+      .select((col("k") + 300000).as("doc_id"), col("text"))
+    val planted = docs.limit(50).select("doc_id", "text").union(fam)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    val mhS = rowsOf(Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6, maxBucket = 5))
+    val mhU = rowsOf(Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6, maxBucket = 1 << 28))
+    assert(mhS.nonEmpty && mhS == mhU, s"minhash salted=${mhS.size} unsalted=${mhU.size}")
+
+    val shS = rowsOf(Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3, maxBucket = 5))
+    val shU = rowsOf(Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3, maxBucket = 1 << 28))
+    assert(shS.nonEmpty && shS == shU, s"simhash salted=${shS.size} unsalted=${shU.size}")
+
+    val ngS = rowsOf(Dedup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.8, maxBucket = 5))
+    val ngU = rowsOf(Dedup.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.8, maxBucket = 1 << 28))
+    assert(ngS.nonEmpty && ngS == ngU, s"ngram salted=${ngS.size} unsalted=${ngU.size}")
+
+    val efam = emb.limit(1).select(col("embedding"))
+      .crossJoin(spark.range(30).select(col("id").as("k")))
+      .select((col("k") + 300000).as("vec_id"), col("embedding"))
+    val eplanted = emb.limit(40).select("vec_id", "embedding").union(efam)
+    val emS = rowsOf(Dedup.embeddingPairs(eplanted, "vec_id", "embedding", threshold = 0.99, maxBucket = 5))
+    val emU = rowsOf(Dedup.embeddingPairs(eplanted, "vec_id", "embedding", threshold = 0.99, maxBucket = 1 << 28))
+    assert(emS.nonEmpty && emS == emU, s"embedding salted=${emS.size} unsalted=${emU.size}")
+    Dedup.releaseCaches(spark)
+  }
+
+  test("q_embed_dedup oracle margin: no natural pair within 0.005 of the threshold") {
+    // The q_embed_dedup DuckDB oracle equates banded-LSH + verify with exact
+    // all-pairs SQL. That equality needs LSH recall = 1 on this input, which
+    // holds because planted dups are IDENTICAL vectors and no NATURAL pair
+    // sits in [0.985, 0.99) where banding could probabilistically miss. Guard
+    // that measured data property so a future change to embedding synthesis
+    // or band parameters fails HERE with a clear message instead of as an
+    // oracle hash mismatch (round-4 ADVICE).
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val full = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val near = full.as("a").join(full.as("b"), col("a.id") < col("b.id"))
+        .select(Dedup.cosine(col("a.vec"), col("b.vec")).as("cos"))
+        .filter(col("cos") >= 0.985 && col("cos") < 0.99)
+        .count()
+      assert(near == 0,
+        s"$near natural $sf pairs in [0.985, 0.99): the q_embed_dedup exact-SQL " +
+          "oracle is no longer sound — re-measure or change band parameters")
+    }
+  }
+
   test("embedding cosine: planted identical vector is found") {
     val planted = emb.select(col("vec_id"), col("embedding"))
       .union(emb.limit(2).select(col("vec_id") + 100000, col("embedding")))

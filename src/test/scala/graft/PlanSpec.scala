@@ -48,10 +48,22 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no quadratic join strategy in prefix-filtered ngram jaccard") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val p = plan(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+    val df = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic strategy:\n${p.take(2000)}")
+    // the prefix-shingle self-join must be salt-keyed too (round-4 verdict:
+    // the AQE-coalescing 207-s failure mode could recur verbatim here)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // (the exploded-verification joins also reference "shingle"; the SELF-join
+    // is the one that must carry the salt keys — assert it exists)
+    val saltKeyed = joins.exists(_.condition.exists { c =>
+      val refs = c.references.map(_.name).toSet
+      refs.contains("shingle") && refs.contains("__i") && refs.contains("__j")
+    })
+    assert(saltKeyed, "prefix-shingle self-join is not salt-keyed")
   }
 
   test("banded LSH joins carry no payload and use no quadratic strategy") {
@@ -69,6 +81,11 @@ class PlanSpec extends AnyFunSuite {
         val cols = (j.left.output ++ j.right.output).map(_.name)
         assert(!cols.contains(payload),
           s"'$payload' carried through the banded join: $cols")
+        // the skew-salt bucket-pair keys must be part of the join condition —
+        // proof the banded join actually routes through saltedSelfJoin
+        val condRefs = j.condition.get.references.map(_.name).toSet
+        assert(condRefs.contains("__i") && condRefs.contains("__j"),
+          s"banded join not salt-keyed: $condRefs")
       }
       val p = plan(df)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
