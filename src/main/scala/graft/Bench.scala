@@ -63,8 +63,10 @@ object Bench {
     // silently becoming the record.
     def probe(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: a sum of 400M xxhash64 longs overflows under ANSI
+      // mode (same reason the CC fingerprint folds with bit_xor)
       spark.range(0L, 400000000L, 1, cpus.toInt)
-        .selectExpr("sum(xxhash64(id)) AS s").collect()
+        .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
     probe() // JIT warm-up for the probe plan itself; discarded

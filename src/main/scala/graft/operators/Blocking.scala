@@ -78,10 +78,12 @@ object Blocking {
     * shingle); AQE can split skewed input partitions but not the quadratic
     * growth inside a single key (round-4 verdict item 1).
     *
-    * Each key group of size c is split into s = ceil(c/maxBlock) salt buckets
-    * and its pair space fans over the s·(s+1)/2 (i,j) bucket-pair tasks, so
-    * the largest task is O(maxBlock²) regardless of skew; normal-sized groups
-    * keep s = 1 and pay nothing extra.
+    * Hot/cold split: a tiny aggregate finds keys with more than maxBlock
+    * rows (normally none). Cold keys take a plain pinned self-join — one
+    * exchange, reused by both sides. Each HOT key group of size c is split
+    * into s = ceil(c/maxBlock) salt buckets and its pair space fans over the
+    * s·(s+1)/2 (i,j) bucket-pair tasks, so the largest task is O(maxBlock²)
+    * regardless of skew; cold keys pay nothing extra.
     *
     * Output orientation is NORMALIZED: `<id>_a < <id>_b` always (payloads
     * swap with their ids), so the result is deterministic and independent of
@@ -98,59 +100,140 @@ object Blocking {
     * @param maxBlock    target max records per salt bucket
     * @return one row per (key, unordered pair): keyCols, <id>_a, <id>_b, payloads
     */
+  /** Cap on the number of hot keys the driver-side probe will collect;
+    * beyond it the operator falls back to the fully-distributed window
+    * triangle (no driver materialization). 10^5 keys ≈ a few MB. */
+  val MaxCollectedHotKeys = 100000
+
   def saltedSelfJoin(df: DataFrame, keyCols: Seq[String], idCol: String,
                      payloadCols: Seq[String], maxBlock: Int = 1000): DataFrame = {
     val rows = df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-
-    // Per-key salt-bucket count s = ceil(count / maxBlock), as a WINDOW over
-    // the key: one exchange of the rows (plus a local sort for WindowExec)
-    // instead of the round-2 groupBy + join-back, which shuffled the rows
-    // relation twice on the same key — measured as the bulk of the 8→32 plan
-    // overhead.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
-    val salted = rows
-      .withColumn("__s",
-        ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int"))
-      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__s")).cast("int"))
-
-    // Triangle fan-out: left emits (i=salt, j) for j in [salt, s); right emits
-    // (i, j=salt) for i in [0, salt]. Each unordered pair meets in exactly one
-    // (key, i, j) task; equal-salt duplicates are removed by the id order test.
-    val left = salted
-      .withColumn("__i", col("__salt"))
-      .withColumn("__j", explode(sequence(col("__salt"), col("__s") - 1)))
-      .drop("__s", "__salt")
-    val right = salted
-      .withColumn("__j", col("__salt"))
-      .withColumn("__i", explode(sequence(lit(0), col("__salt"))))
-      .drop("__s", "__salt")
+    val spark = df.sparkSession
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val kc = keyCols.map(col)
 
     // AQE coalescing is BLIND to join-output amplification: the map-side
-    // bytes of these inputs are tiny relative to the quadratic pair fan-out
-    // inside each (key,i,j) task, so AQE would happily coalesce the exchange
-    // to one partition and run the whole pair space single-threaded
-    // (observed: 207 s on 1 task vs 15 s on 32). Explicit repartition on the
-    // join keys pins the partition count — user repartitions are never
+    // bytes of these join inputs are tiny relative to the quadratic pair
+    // fan-out inside each task, so AQE would happily coalesce a shuffle
+    // join's exchange to one partition and run the whole pair space
+    // single-threaded (observed: 207 s on 1 task vs 15 s on 32). Explicit
+    // repartition pins the partition count — user repartitions are never
     // coalesced — and the join reuses it with no extra exchange.
-    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val joinKeys = keyCols ++ Seq("__i", "__j")
-    val lRen = left.select(joinKeys.map(col) ++ Seq(col(idCol).as("__id_l")) ++
-      payloadCols.map(p => col(p).as(s"__${p}_l")): _*)
-      .repartition(numParts, joinKeys.map(col): _*)
-    val rRen = right.select(joinKeys.map(col) ++ Seq(col(idCol).as("__id_r")) ++
-      payloadCols.map(p => col(p).as(s"__${p}_r")): _*)
-      .repartition(numParts, joinKeys.map(col): _*)
+    // Repartition BEFORE the per-side renames: the exchange subtree is then
+    // identical on both sides and runs ONCE (ReuseExchange), where
+    // rename-then-repartition would shuffle twice.
+    def side(in: DataFrame, partKeys: Seq[String], tag: String,
+             pin: Boolean): DataFrame = {
+      val base =
+        if (pin) in.repartition(numParts, partKeys.map(col): _*) else in
+      base.select(
+        partKeys.map(col) ++ Seq(col(idCol).as(s"__id_$tag")) ++
+          payloadCols.map(p => col(p).as(s"__${p}_$tag")): _*)
+    }
 
-    val joined = lRen.join(rRen, joinKeys)
-      .filter(col("__i") =!= col("__j") || col("__id_l") < col("__id_r"))
+    // The pin is only needed when the join will run as a SHUFFLE join: a
+    // broadcast join has no partition-coalescing hazard (its parallelism is
+    // the stream side's existing partitioning, which the dedup/blocking
+    // callers keep spread). Decide by the same signal the planner uses —
+    // relation stats vs the broadcast threshold (stats are EXACT here in the
+    // intended usage: callers persist the input, and the hot-key probe below
+    // materializes the cache before stats are read). Threshold disabled
+    // (≤ 0) ⇒ always pin, the conservative choice. The extra exchange is
+    // ~1 s of pure stage overhead per query at bench scale, so skipping it
+    // when broadcast is certain matters.
+    val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val pinCold = bcThreshold <= 0 ||
+      rows.queryExecution.optimizedPlan.stats.sizeInBytes > bcThreshold
 
-    // orientation normalization: which triangle side a record fans to is a
+    val outCols = (Seq("__id_l", "__id_r") ++
+      payloadCols.flatMap(p => Seq(s"__${p}_l", s"__${p}_r"))).map(col)
+
+    // plain self-join on the key — the whole plan when no key is hot
+    // (per-task output bounded by rows_per_task × maxBlock: every key here
+    // has ≤ maxBlock rows)
+    def pinnedPlain(in: DataFrame): DataFrame =
+      side(in, keyCols, "l", pinCold).join(side(in, keyCols, "r", pinCold), keyCols)
+        .filter(col("__id_l") < col("__id_r"))
+        .select(kc ++ outCols: _*)
+
+    // triangle fan-out over rows that already carry __s (salt-bucket count):
+    // each hot key of size c splits into s = ceil(c/maxBlock) salt buckets;
+    // left emits (i=salt, j) for j in [salt, s), right emits (i, j=salt) for
+    // i in [0, salt] — each unordered pair meets in exactly ONE (key, i, j)
+    // task and equal-salt duplicates are removed by the id order test, so
+    // the largest task is O(maxBlock²) regardless of skew.
+    def triangle(withS: DataFrame): DataFrame = {
+      val salted = withS
+        .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__s")).cast("int"))
+      val left = salted
+        .withColumn("__i", col("__salt"))
+        .withColumn("__j", explode(sequence(col("__salt"), col("__s") - 1)))
+        .drop("__s", "__salt")
+      val right = salted
+        .withColumn("__j", col("__salt"))
+        .withColumn("__i", explode(sequence(lit(0), col("__salt"))))
+        .drop("__s", "__salt")
+      val triKeys = keyCols ++ Seq("__i", "__j")
+      // hot-path sides always pin: spreading a hot key's (i,j) groups across
+      // tasks is the entire point of the fan-out
+      side(left, triKeys, "l", pin = true)
+        .join(side(right, triKeys, "r", pin = true), triKeys)
+        .filter(col("__i") =!= col("__j") || col("__id_l") < col("__id_r"))
+        .select(kc ++ outCols: _*)
+    }
+
+    // HOT/COLD SKEW SPLIT, decided by a DRIVER-SIDE PROBE. Salting every row
+    // unconditionally (window count → triangle for all, the first cut)
+    // shuffled the whole relation three times and duplicated every row into
+    // both triangle sides — measured 3-4× the plain join on the banded LSH
+    // relations, where >99.99% of keys are not hot. Skew is the EXCEPTION:
+    // one tiny aggregate (map-side partial combine → KB-scale shuffle) finds
+    // the keys with more than maxBlock rows, and the driver picks the plan:
+    //  - no hot keys (the overwhelmingly common case): the plain pinned
+    //    self-join IS the whole plan — zero salting overhead;
+    //  - a collectable hot set: cold keys take the plain join, hot rows take
+    //    the triangle with `s` baked from the ALREADY-COLLECTED counts (the
+    //    membership join is a broadcast of a literal frame — `rows` is never
+    //    re-shuffled for tagging and no second aggregate runs);
+    //  - more than MaxCollectedHotKeys hot keys (adversarial: ≥ ~10^8 rows
+    //    inside oversized buckets): fall back to the fully-distributed
+    //    window triangle — slower but driver-safe, and at that point the
+    //    pair space (≥ hotKeys·maxBlock²) dwarfs the plan overhead.
+    // The probe is one extra action at plan-construction time — the same
+    // bounded-collect pattern as ConnectedComponents.stringDictionary and
+    // Similarity.centroidSample; the collected set is capped at ~few MB.
+    val hotAgg = rows.groupBy(kc: _*).agg(count(lit(1)).as("__hot_n"))
+      .filter(col("__hot_n") > maxBlock)
+    val hotRows = hotAgg.limit(MaxCollectedHotKeys + 1).collect()
+
+    val joined =
+      if (hotRows.isEmpty) pinnedPlain(rows)
+      else if (hotRows.length <= MaxCollectedHotKeys) {
+        val hotDF = spark.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), hotAgg.schema)
+        val tagged = rows.join(broadcast(hotDF), keyCols, "left")
+        val cold = tagged.filter(col("__hot_n").isNull).drop("__hot_n")
+        val hot = tagged.filter(col("__hot_n").isNotNull)
+          .withColumn("__s",
+            ceil(col("__hot_n").cast("double") / maxBlock).cast("int"))
+          .drop("__hot_n")
+        pinnedPlain(cold).unionByName(triangle(hot))
+      } else {
+        // window-computed __s for every row; s = 1 keys keep a degenerate
+        // (0,0) triangle — correct, just not split
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+        triangle(rows.withColumn("__s",
+          ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int")))
+      }
+
+    // orientation normalization: which triangle side a hot row fans to is a
     // function of its salt, so without this the a/b order of cross-bucket
     // pairs would depend on maxBlock — `fwd` re-orders each pair (and its
-    // payloads) by id so salted ≡ unsalted holds ROW-identically.
+    // payloads) by id so salted ≡ unsalted holds ROW-identically (plain-join
+    // pairs are already ordered; the projection is a no-op there).
     val fwd = col("__id_l") < col("__id_r")
     def pick(lc: String, rc: String) = when(fwd, col(lc)).otherwise(col(rc))
-    joined.select(keyCols.map(col) ++ Seq(
+    joined.select(kc ++ Seq(
       pick("__id_l", "__id_r").as(s"${idCol}_a"),
       pick("__id_r", "__id_l").as(s"${idCol}_b")) ++
       payloadCols.flatMap(p => Seq(

@@ -169,12 +169,15 @@ object Dedup {
 
     // one row per (id, band, bucket): bucket = hash of the band's slice.
     // ONLY (id, band, bucket) enters the self-join — no array payload.
-    val banded = sets
+    // PERSISTED (skinny: 16 × (id, int, int) rows/doc) because the salted
+    // self-join's driver-side hot-key probe plus its two join sides would
+    // otherwise re-run the signature computation per consumer.
+    val banded = trackPersist(sets
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
 
     val cand = Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id",
         Seq.empty, maxBucket)
@@ -236,10 +239,12 @@ object Dedup {
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val withSim = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
       .select(col("id"), simhash(col("text")).as("sim"))
-    val banded = withSim.select(col("id"), col("sim"),
+    // persisted: the salted join's hot probe + both sides would otherwise
+    // re-hash every document per consumer (skinny 4-rows/doc relation)
+    val banded = trackPersist(withSim.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
     Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id", Seq("sim"), maxBucket)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
@@ -282,13 +287,16 @@ object Dedup {
     val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
     val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("f"))
 
-    // rank shingles within each doc by (f, shingle); keep the prefix
+    // rank shingles within each doc by (f, shingle); keep the prefix.
+    // PERSISTED: the prefix relation (freq join + rank window) is the most
+    // expensive subtree here and feeds the salted join's hot probe plus both
+    // join sides — recomputing it per consumer tripled the query.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("f"), col("shingle"))
-    val prefix = exploded.join(freq, "shingle")
+    val prefix = trackPersist(exploded.join(freq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-      .select(col("shingle"), col("id"), col("nsh"), col("rk"))
+      .select(col("shingle"), col("id"), col("nsh"), col("rk")))
 
     // candidates: docs sharing any prefix shingle, with size + positional
     // prunes. The prefix self-join is skew-salted ([[Blocking.saltedSelfJoin]]):
@@ -379,9 +387,11 @@ object Dedup {
 
     // skew-salted banded self-join: an embedding duplicate family shares all
     // band buckets, so without salting one bucket would hold the family's
-    // entire quadratic candidate fan-out in a single task
-    val cand = Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id",
-        Seq.empty, maxBucket)
+    // entire quadratic candidate fan-out in a single task. Banded is
+    // persisted for the same probe/branch-reuse reason as the MinHash path
+    // (withSig is already cached; this additionally skips re-exploding).
+    val cand = Blocking.saltedSelfJoin(trackPersist(banded),
+        Seq("band", "bucket"), "id", Seq.empty, maxBucket)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 

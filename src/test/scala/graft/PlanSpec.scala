@@ -57,13 +57,17 @@ class PlanSpec extends AnyFunSuite {
     // the prefix-shingle self-join must be salt-keyed too (round-4 verdict:
     // the AQE-coalescing 207-s failure mode could recur verbatim here)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
-    // (the exploded-verification joins also reference "shingle"; the SELF-join
-    // is the one that must carry the salt keys — assert it exists)
-    val saltKeyed = joins.exists(_.condition.exists { c =>
+    // with the hot threshold forced to 1 row, shared prefix shingles route
+    // through the salt-keyed triangle (the exploded-verification joins also
+    // reference "shingle"; the SELF-join is the one that carries salt keys)
+    val hotNg = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxBucket = 1)
+    val hotJoins = hotNg.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val saltKeyed = hotJoins.exists(_.condition.exists { c =>
       val refs = c.references.map(_.name).toSet
       refs.contains("shingle") && refs.contains("__i") && refs.contains("__j")
     })
-    assert(saltKeyed, "prefix-shingle self-join is not salt-keyed")
+    assert(saltKeyed, "forced-hot prefix-shingle self-join is not salt-keyed")
+    Dedup.releaseCaches(spark)
   }
 
   test("banded LSH joins carry no payload and use no quadratic strategy") {
@@ -81,11 +85,6 @@ class PlanSpec extends AnyFunSuite {
         val cols = (j.left.output ++ j.right.output).map(_.name)
         assert(!cols.contains(payload),
           s"'$payload' carried through the banded join: $cols")
-        // the skew-salt bucket-pair keys must be part of the join condition —
-        // proof the banded join actually routes through saltedSelfJoin
-        val condRefs = j.condition.get.references.map(_.name).toSet
-        assert(condRefs.contains("__i") && condRefs.contains("__j"),
-          s"banded join not salt-keyed: $condRefs")
       }
       val p = plan(df)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
@@ -95,6 +94,36 @@ class PlanSpec extends AnyFunSuite {
     bandedJoinInputs(Dedup.minhashPairs(docs, "doc_id", "text"), "sh")
     bandedJoinInputs(Dedup.embeddingPairs(emb, "vec_id", "embedding"), "vec")
     bandedJoinInputs(Dedup.simhashPairs(docs, "doc_id", "text"), "text")
+
+    // with the hot-key threshold forced to 1 row, real duplicate families
+    // make the driver probe take the HOT path: the triangle fan-out must
+    // appear, salt-keyed on (__i, __j), and still payload-free
+    def saltKeyed(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.exists {
+        _.condition.exists { c =>
+          val refs = c.references.map(_.name).toSet
+          refs.contains("__i") && refs.contains("__j")
+        }
+      }
+    val hotMh = Dedup.minhashPairs(docs, "doc_id", "text", maxBucket = 1)
+    assert(saltKeyed(hotMh), "forced-hot minhash plan has no salt-keyed join")
+    // the hot-path triangle is always partition-pinned against AQE coalescing
+    assert(plan(hotMh).contains("REPARTITION_BY_NUM"),
+      "forced-hot plan carries no pinned repartition")
+    assert(!plan(hotMh).contains("CartesianProduct"))
+    Dedup.releaseCaches(spark)
+
+    // when the relation is too big to broadcast, the COLD plain join must be
+    // pinned too — force that branch by disabling the broadcast threshold
+    // (saltedSelfJoin then takes the conservative always-pin path)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pinned = Dedup.minhashPairs(docs, "doc_id", "text")
+      assert(plan(pinned).contains("REPARTITION_BY_NUM"),
+        "cold pair join not pinned when the input cannot broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    Dedup.releaseCaches(spark)
   }
 
   test("IVF cell assignment is a shuffle-free projection (no Exchange/Window)") {
