@@ -69,6 +69,11 @@ object Blocking {
     concat_ws("_", substring(postcode(normCol), 1, 3), phon)
   }
 
+  /** Cap on the number of hot keys the driver-side probe will collect;
+    * beyond it the operator falls back to the fully-distributed window
+    * triangle (no driver materialization). 10^5 keys ≈ a few MB. */
+  val MaxCollectedHotKeys = 100000
+
   /** Generic skew-salted self-join: every candidate-pair generator in the
     * engine (blocking keys, MinHash/SimHash/hyperplane band buckets, PPJoin
     * prefix shingles) routes through this ONE fan-out so the bounded-task
@@ -98,15 +103,13 @@ object Blocking {
     * @param idCol       unique record id column (orders pairs; any orderable type)
     * @param payloadCols extra columns carried to both sides (suffixed _a/_b)
     * @param maxBlock    target max records per salt bucket
+    * @param hotKeyCap   probe-collect cap (see [[MaxCollectedHotKeys]]);
+    *                    injectable so tests can drive the fallback branch
     * @return one row per (key, unordered pair): keyCols, <id>_a, <id>_b, payloads
     */
-  /** Cap on the number of hot keys the driver-side probe will collect;
-    * beyond it the operator falls back to the fully-distributed window
-    * triangle (no driver materialization). 10^5 keys ≈ a few MB. */
-  val MaxCollectedHotKeys = 100000
-
   def saltedSelfJoin(df: DataFrame, keyCols: Seq[String], idCol: String,
-                     payloadCols: Seq[String], maxBlock: Int = 1000): DataFrame = {
+                     payloadCols: Seq[String], maxBlock: Int = 1000,
+                     hotKeyCap: Int = MaxCollectedHotKeys): DataFrame = {
     val rows = df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
     val spark = df.sparkSession
     val numParts = spark.sessionState.conf.numShufflePartitions
@@ -204,11 +207,11 @@ object Blocking {
     // Similarity.centroidSample; the collected set is capped at ~few MB.
     val hotAgg = rows.groupBy(kc: _*).agg(count(lit(1)).as("__hot_n"))
       .filter(col("__hot_n") > maxBlock)
-    val hotRows = hotAgg.limit(MaxCollectedHotKeys + 1).collect()
+    val hotRows = hotAgg.limit(hotKeyCap + 1).collect()
 
     val joined =
       if (hotRows.isEmpty) pinnedPlain(rows)
-      else if (hotRows.length <= MaxCollectedHotKeys) {
+      else if (hotRows.length <= hotKeyCap) {
         val hotDF = spark.createDataFrame(
           java.util.Arrays.asList(hotRows: _*), hotAgg.schema)
         val tagged = rows.join(broadcast(hotDF), keyCols, "left")

@@ -227,6 +227,21 @@ class LinkageSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad entity ids are not member urls")
   }
 
+  test("saltedSelfJoin: all three plan paths yield identical pairs") {
+    // 3 keys × 100 rows, maxBlock 10 ⇒ every key is hot (s = 10 each)
+    val df = (0 until 300).map(i => (f"id$i%03d", s"k${i % 3}", s"p$i"))
+      .toDF("id", "k", "norm")
+    def pairs(maxBlock: Int, cap: Int): Set[String] =
+      Blocking.saltedSelfJoin(df, Seq("k"), "id", Seq("norm"), maxBlock, cap)
+        .collect().map(_.mkString("|")).toSet
+    val plain = pairs(maxBlock = 100000, cap = 100000) // no hot keys: plain join
+    val split = pairs(maxBlock = 10, cap = 100000)     // hot set collected: split
+    val fallback = pairs(maxBlock = 10, cap = 2)       // 3 hot keys > cap 2: window triangle
+    assert(plain.size == 3 * 100 * 99 / 2)
+    assert(split == plain, s"split=${split.size} plain=${plain.size}")
+    assert(fallback == plain, s"fallback=${fallback.size} plain=${plain.size}")
+  }
+
   test("runGrouped validate: rejects a graph whose node spans two groups") {
     // node "x" bridges groups g1 and g2: a–x–b is ONE component, but the
     // grouped union-find (correct only for block-partitioned graphs) would
