@@ -134,28 +134,38 @@ object Blocking {
           payloadCols.map(p => col(p).as(s"__${p}_$tag")): _*)
     }
 
-    // The pin is only needed when the join will run as a SHUFFLE join: a
-    // broadcast join has no partition-coalescing hazard (its parallelism is
-    // the stream side's existing partitioning, which the dedup/blocking
-    // callers keep spread). Decide by the same signal the planner uses —
-    // relation stats vs the broadcast threshold (stats are EXACT here in the
-    // intended usage: callers persist the input, and the hot-key probe below
-    // materializes the cache before stats are read). Threshold disabled
-    // (≤ 0) ⇒ always pin, the conservative choice. The extra exchange is
-    // ~1 s of pure stage overhead per query at bench scale, so skipping it
-    // when broadcast is certain matters.
+    // The skew hazard (and therefore the pin AND the salting machinery)
+    // exists only in the SHUFFLE-JOIN regime: a shuffle join sends every row
+    // of a key to the one task that owns the key's hash, so a hot key is a
+    // single-task quadratic blowup — while a BROADCAST self-join streams
+    // each task's rows against the broadcast map, so even a 100%-hot
+    // relation's fan-out spreads evenly across the stream side's existing
+    // partitions (measured on a forced 10k-row hot key: broadcast plain
+    // join 4.3 s vs 54-58 s for ANY shuffle variant — BENCH.md round-5 §2).
+    // Decide the regime by the same signal the planner uses — relation
+    // stats vs the broadcast threshold (stats are EXACT in the intended
+    // usage: callers persist the input and the probe's aggregate
+    // materializes the cache before stats are read; for un-persisted inputs
+    // the estimate is the SAME one the planner will broadcast by, so the
+    // decision stays consistent with the actual join strategy). Threshold
+    // disabled (≤ 0) ⇒ shuffle regime, the conservative choice.
+    // Precondition of the broadcast fast path: the stream side's
+    // parallelism is the input's partitioning — every engine call site
+    // keeps inputs spread (Dedup.spread / the prepared relation).
     val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val pinCold = bcThreshold <= 0 ||
+    val shuffleRegime = bcThreshold <= 0 ||
       rows.queryExecution.optimizedPlan.stats.sizeInBytes > bcThreshold
 
     val outCols = (Seq("__id_l", "__id_r") ++
       payloadCols.flatMap(p => Seq(s"__${p}_l", s"__${p}_r"))).map(col)
 
-    // plain self-join on the key — the whole plan when no key is hot
-    // (per-task output bounded by rows_per_task × maxBlock: every key here
-    // has ≤ maxBlock rows)
-    def pinnedPlain(in: DataFrame): DataFrame =
-      side(in, keyCols, "l", pinCold).join(side(in, keyCols, "r", pinCold), keyCols)
+    // plain self-join on the key — pinned against AQE coalescing only in
+    // the shuffle regime (a broadcast join has no coalescable exchange, and
+    // the pin's extra exchange costs ~1 s of pure stage overhead per query
+    // at bench scale)
+    def plainJoin(in: DataFrame): DataFrame =
+      side(in, keyCols, "l", shuffleRegime)
+        .join(side(in, keyCols, "r", shuffleRegime), keyCols)
         .filter(col("__id_l") < col("__id_r"))
         .select(kc ++ outCols: _*)
 
@@ -205,28 +215,34 @@ object Blocking {
     // The probe is one extra action at plan-construction time — the same
     // bounded-collect pattern as ConnectedComponents.stringDictionary and
     // Similarity.centroidSample; the collected set is capped at ~few MB.
-    val hotAgg = rows.groupBy(kc: _*).agg(count(lit(1)).as("__hot_n"))
-      .filter(col("__hot_n") > maxBlock)
-    val hotRows = hotAgg.limit(hotKeyCap + 1).collect()
-
+    // In the BROADCAST regime neither probe nor salt runs at all: the plain
+    // broadcast join already spreads any key's fan-out evenly (see the
+    // regime note above), so probing would buy nothing but its ~0.5 s
+    // aggregate job per call.
     val joined =
-      if (hotRows.isEmpty) pinnedPlain(rows)
-      else if (hotRows.length <= hotKeyCap) {
-        val hotDF = spark.createDataFrame(
-          java.util.Arrays.asList(hotRows: _*), hotAgg.schema)
-        val tagged = rows.join(broadcast(hotDF), keyCols, "left")
-        val cold = tagged.filter(col("__hot_n").isNull).drop("__hot_n")
-        val hot = tagged.filter(col("__hot_n").isNotNull)
-          .withColumn("__s",
-            ceil(col("__hot_n").cast("double") / maxBlock).cast("int"))
-          .drop("__hot_n")
-        pinnedPlain(cold).unionByName(triangle(hot))
-      } else {
-        // window-computed __s for every row; s = 1 keys keep a degenerate
-        // (0,0) triangle — correct, just not split
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
-        triangle(rows.withColumn("__s",
-          ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int")))
+      if (!shuffleRegime) plainJoin(rows)
+      else {
+        val hotAgg = rows.groupBy(kc: _*).agg(count(lit(1)).as("__hot_n"))
+          .filter(col("__hot_n") > maxBlock)
+        val hotRows = hotAgg.limit(hotKeyCap + 1).collect()
+        if (hotRows.isEmpty) plainJoin(rows)
+        else if (hotRows.length <= hotKeyCap) {
+          val hotDF = spark.createDataFrame(
+            java.util.Arrays.asList(hotRows: _*), hotAgg.schema)
+          val tagged = rows.join(broadcast(hotDF), keyCols, "left")
+          val cold = tagged.filter(col("__hot_n").isNull).drop("__hot_n")
+          val hot = tagged.filter(col("__hot_n").isNotNull)
+            .withColumn("__s",
+              ceil(col("__hot_n").cast("double") / maxBlock).cast("int"))
+            .drop("__hot_n")
+          plainJoin(cold).unionByName(triangle(hot))
+        } else {
+          // window-computed __s for every row; s = 1 keys keep a degenerate
+          // (0,0) triangle — correct, just not split
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+          triangle(rows.withColumn("__s",
+            ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int")))
+        }
       }
 
     // orientation normalization: which triangle side a hot row fans to is a

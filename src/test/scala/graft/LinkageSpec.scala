@@ -234,12 +234,20 @@ class LinkageSpec extends AnyFunSuite {
     def pairs(maxBlock: Int, cap: Int): Set[String] =
       Blocking.saltedSelfJoin(df, Seq("k"), "id", Seq("norm"), maxBlock, cap)
         .collect().map(_.mkString("|")).toSet
-    val plain = pairs(maxBlock = 100000, cap = 100000) // no hot keys: plain join
-    val split = pairs(maxBlock = 10, cap = 100000)     // hot set collected: split
-    val fallback = pairs(maxBlock = 10, cap = 2)       // 3 hot keys > cap 2: window triangle
-    assert(plain.size == 3 * 100 * 99 / 2)
-    assert(split == plain, s"split=${split.size} plain=${plain.size}")
-    assert(fallback == plain, s"fallback=${fallback.size} plain=${plain.size}")
+    // broadcast regime: probe and salt skipped, plain broadcast join
+    val bcast = pairs(maxBlock = 10, cap = 100000)
+    assert(bcast.size == 3 * 100 * 99 / 2)
+    // shuffle regime: probe decides between plain / split / window fallback
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = pairs(maxBlock = 100000, cap = 100000) // no hot keys: plain join
+      val split = pairs(maxBlock = 10, cap = 100000)     // hot set collected: split
+      val fallback = pairs(maxBlock = 10, cap = 2)       // 3 hot keys > cap 2: window triangle
+      assert(plain == bcast, s"plain=${plain.size} bcast=${bcast.size}")
+      assert(split == bcast, s"split=${split.size} bcast=${bcast.size}")
+      assert(fallback == bcast, s"fallback=${fallback.size} bcast=${bcast.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
   test("runGrouped validate: rejects a graph whose node spans two groups") {
@@ -284,10 +292,15 @@ class LinkageSpec extends AnyFunSuite {
       Blocking.candidatePairs(df, "block_key", "url", Seq("norm"), maxBlock)
         .select(least(col("url_a"), col("url_b")), greatest(col("url_a"), col("url_b")))
         .as[(String, String)].collect().toSet
-    val unsalted = pairSet(maxBlock = 100000) // s = 1 everywhere
-    val salted = pairSet(maxBlock = 10)       // s = 10 per block
-    assert(unsalted.nonEmpty)
-    assert(salted == unsalted, s"salted=${salted.size} unsalted=${unsalted.size}")
+    // shuffle regime so maxBlock=10 actually salts (broadcast regime skips it)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val unsalted = pairSet(maxBlock = 100000) // s = 1 everywhere
+      val salted = pairSet(maxBlock = 10)       // s = 10 per block
+      assert(unsalted.nonEmpty)
+      assert(salted == unsalted, s"salted=${salted.size} unsalted=${unsalted.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
   test("scoring metrics: reference values") {

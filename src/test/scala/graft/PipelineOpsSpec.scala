@@ -298,6 +298,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val planted = docs.limit(50).select("doc_id", "text").union(fam)
     def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.mkString("|")).toSet
+    // salting only engages in the shuffle-join regime (broadcast joins
+    // spread fan-out by construction) — force it so the triangle actually runs
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
 
     val mhS = rowsOf(Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6, maxBucket = 5))
     val mhU = rowsOf(Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6, maxBucket = 1 << 28))
@@ -318,6 +323,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val emS = rowsOf(Dedup.embeddingPairs(eplanted, "vec_id", "embedding", threshold = 0.99, maxBucket = 5))
     val emU = rowsOf(Dedup.embeddingPairs(eplanted, "vec_id", "embedding", threshold = 0.99, maxBucket = 1 << 28))
     assert(emS.nonEmpty && emS == emU, s"embedding salted=${emS.size} unsalted=${emU.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     Dedup.releaseCaches(spark)
   }
 

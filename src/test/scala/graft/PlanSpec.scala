@@ -57,16 +57,21 @@ class PlanSpec extends AnyFunSuite {
     // the prefix-shingle self-join must be salt-keyed too (round-4 verdict:
     // the AQE-coalescing 207-s failure mode could recur verbatim here)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
-    // with the hot threshold forced to 1 row, shared prefix shingles route
-    // through the salt-keyed triangle (the exploded-verification joins also
-    // reference "shingle"; the SELF-join is the one that carries salt keys)
-    val hotNg = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxBucket = 1)
-    val hotJoins = hotNg.queryExecution.optimizedPlan.collect { case j: Join => j }
-    val saltKeyed = hotJoins.exists(_.condition.exists { c =>
-      val refs = c.references.map(_.name).toSet
-      refs.contains("shingle") && refs.contains("__i") && refs.contains("__j")
-    })
-    assert(saltKeyed, "forced-hot prefix-shingle self-join is not salt-keyed")
+    // with the hot threshold forced to 1 row IN THE SHUFFLE REGIME, shared
+    // prefix shingles route through the salt-keyed triangle (the exploded-
+    // verification joins also reference "shingle"; the SELF-join is the one
+    // that carries salt keys)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hotNg = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxBucket = 1)
+      val hotJoins = hotNg.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val saltKeyed = hotJoins.exists(_.condition.exists { c =>
+        val refs = c.references.map(_.name).toSet
+        refs.contains("shingle") && refs.contains("__i") && refs.contains("__j")
+      })
+      assert(saltKeyed, "forced-hot prefix-shingle self-join is not salt-keyed")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     Dedup.releaseCaches(spark)
   }
 
@@ -105,20 +110,19 @@ class PlanSpec extends AnyFunSuite {
           refs.contains("__i") && refs.contains("__j")
         }
       }
-    val hotMh = Dedup.minhashPairs(docs, "doc_id", "text", maxBucket = 1)
-    assert(saltKeyed(hotMh), "forced-hot minhash plan has no salt-keyed join")
-    // the hot-path triangle is always partition-pinned against AQE coalescing
-    assert(plan(hotMh).contains("REPARTITION_BY_NUM"),
-      "forced-hot plan carries no pinned repartition")
-    assert(!plan(hotMh).contains("CartesianProduct"))
-    Dedup.releaseCaches(spark)
-
-    // when the relation is too big to broadcast, the COLD plain join must be
-    // pinned too — force that branch by disabling the broadcast threshold
-    // (saltedSelfJoin then takes the conservative always-pin path)
+    // salting engages only in the shuffle-join regime (a broadcast self-join
+    // spreads fan-out by construction) — disable broadcast to assert the
+    // shuffle-regime properties: the forced-hot triangle is salt-keyed and
+    // pinned, and the cold plain join is pinned too
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hotMh = Dedup.minhashPairs(docs, "doc_id", "text", maxBucket = 1)
+      assert(saltKeyed(hotMh), "forced-hot minhash plan has no salt-keyed join")
+      // the hot-path triangle is always partition-pinned against AQE coalescing
+      assert(plan(hotMh).contains("REPARTITION_BY_NUM"),
+        "forced-hot plan carries no pinned repartition")
+      assert(!plan(hotMh).contains("CartesianProduct"))
       val pinned = Dedup.minhashPairs(docs, "doc_id", "text")
       assert(plan(pinned).contains("REPARTITION_BY_NUM"),
         "cold pair join not pinned when the input cannot broadcast")
