@@ -142,32 +142,43 @@ object Blocking {
     // relation's fan-out spreads evenly across the stream side's existing
     // partitions (measured on a forced 10k-row hot key: broadcast plain
     // join 4.3 s vs 54-58 s for ANY shuffle variant — BENCH.md round-5 §2).
-    // Decide the regime by the same signal the planner uses — relation
-    // stats vs the broadcast threshold (stats are EXACT in the intended
-    // usage: callers persist the input and the probe's aggregate
-    // materializes the cache before stats are read; for un-persisted inputs
-    // the estimate is the SAME one the planner will broadcast by, so the
-    // decision stays consistent with the actual join strategy). Threshold
-    // disabled (≤ 0) ⇒ shuffle regime, the conservative choice.
+    //
+    // The regime must be decided from MEASURED bytes, not optimizer
+    // estimates: the 960k-row blocking relation (~170 MB real) estimates to
+    // 9.3 MB — just under the 10 MB broadcast threshold — because the
+    // synthesize plan can't see string widths; trusting that estimate made
+    // the engine broadcast a 170 MB relation (measured 83 s → 120 s at 2
+    // cores, and at larger mis-estimates it would be a driver OOM). The
+    // probe aggregate below therefore also sums the concatenated string
+    // width of every (atomic) column — a one-pass measured bound on the
+    // relation's bytes, the same scale as the planner's own per-type width
+    // accounting (a broadcast hash relation adds object overhead, but at a
+    // 10 MB threshold that is ≤ ~30 MB of heap — safe). The chosen strategy
+    // is then ENFORCED
+    // with an explicit broadcast hint, so the decision and the physical
+    // join can never diverge. Threshold disabled (≤ 0) ⇒ shuffle regime.
     // Precondition of the broadcast fast path: the stream side's
     // parallelism is the input's partitioning — every engine call site
     // keeps inputs spread (Dedup.spread / the prepared relation).
     val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val shuffleRegime = bcThreshold <= 0 ||
-      rows.queryExecution.optimizedPlan.stats.sizeInBytes > bcThreshold
 
     val outCols = (Seq("__id_l", "__id_r") ++
       payloadCols.flatMap(p => Seq(s"__${p}_l", s"__${p}_r"))).map(col)
 
-    // plain self-join on the key — pinned against AQE coalescing only in
-    // the shuffle regime (a broadcast join has no coalescable exchange, and
-    // the pin's extra exchange costs ~1 s of pure stage overhead per query
-    // at bench scale)
-    def plainJoin(in: DataFrame): DataFrame =
-      side(in, keyCols, "l", shuffleRegime)
-        .join(side(in, keyCols, "r", shuffleRegime), keyCols)
+    // plain self-join on the key. In the shuffle regime both sides are
+    // pinned against AQE coalescing; in the broadcast regime the right side
+    // carries an explicit broadcast hint (enforcing the measured decision)
+    // and no pin is needed — a broadcast join has no coalescable exchange,
+    // and the pin's extra exchange costs ~1 s of pure stage overhead per
+    // query at bench scale.
+    def plainJoin(in: DataFrame, shuffleRegime: Boolean): DataFrame = {
+      val l = side(in, keyCols, "l", shuffleRegime)
+      val r0 = side(in, keyCols, "r", shuffleRegime)
+      val r = if (shuffleRegime) r0 else broadcast(r0)
+      l.join(r, keyCols)
         .filter(col("__id_l") < col("__id_r"))
         .select(kc ++ outCols: _*)
+    }
 
     // triangle fan-out over rows that already carry __s (salt-bucket count):
     // each hot key of size c splits into s = ceil(c/maxBlock) salt buckets;
@@ -199,50 +210,69 @@ object Blocking {
     // unconditionally (window count → triangle for all, the first cut)
     // shuffled the whole relation three times and duplicated every row into
     // both triangle sides — measured 3-4× the plain join on the banded LSH
-    // relations, where >99.99% of keys are not hot. Skew is the EXCEPTION:
-    // one tiny aggregate (map-side partial combine → KB-scale shuffle) finds
-    // the keys with more than maxBlock rows, and the driver picks the plan:
-    //  - no hot keys (the overwhelmingly common case): the plain pinned
-    //    self-join IS the whole plan — zero salting overhead;
-    //  - a collectable hot set: cold keys take the plain join, hot rows take
-    //    the triangle with `s` baked from the ALREADY-COLLECTED counts (the
-    //    membership join is a broadcast of a literal frame — `rows` is never
-    //    re-shuffled for tagging and no second aggregate runs);
-    //  - more than MaxCollectedHotKeys hot keys (adversarial: ≥ ~10^8 rows
-    //    inside oversized buckets): fall back to the fully-distributed
-    //    window triangle — slower but driver-safe, and at that point the
-    //    pair space (≥ hotKeys·maxBlock²) dwarfs the plan overhead.
-    // The probe is one extra action at plan-construction time — the same
-    // bounded-collect pattern as ConnectedComponents.stringDictionary and
-    // Similarity.centroidSample; the collected set is capped at ~few MB.
-    // In the BROADCAST regime neither probe nor salt runs at all: the plain
-    // broadcast join already spreads any key's fan-out evenly (see the
-    // regime note above), so probing would buy nothing but its ~0.5 s
-    // aggregate job per call.
+    // relations, where >99.99% of keys are not hot. ONE aggregate pass
+    // yields (a) per-key counts for the hot set and (b) the measured byte
+    // total for the regime decision (the two driver actions below share the
+    // aggregate's shuffle files). The driver then picks the plan:
+    //  - measured bytes broadcastable: plain join with a broadcast hint —
+    //    fan-out spreads over stream partitions by construction, no salt
+    //    or pin needed regardless of skew;
+    //  - shuffle regime, no hot keys (the common case): the plain pinned
+    //    self-join IS the plan — zero salting overhead;
+    //  - shuffle regime, collectable hot set: cold keys take the pinned
+    //    plain join, hot rows take the triangle with `s` baked from the
+    //    ALREADY-COLLECTED counts (the membership join is a broadcast of a
+    //    literal frame — `rows` is never re-shuffled for tagging);
+    //  - more than hotKeyCap hot keys (adversarial: ≥ ~10^8 rows inside
+    //    oversized buckets): fall back to the fully-distributed window
+    //    triangle — slower but driver-safe, and at that point the pair
+    //    space (≥ hotKeys·maxBlock²) dwarfs the plan overhead.
+    // The probe is the same bounded-collect pattern as
+    // ConnectedComponents.stringDictionary and Similarity.centroidSample;
+    // the collected set is capped at ~few MB.
+    val atomicCols = (keyCols ++ Seq(idCol) ++ payloadCols).filter { c =>
+      rows.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      }
+    }
+    val rowBytes = octet_length(concat_ws(" ",
+      atomicCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    val perKey = rows.groupBy(kc: _*).agg(
+      count(lit(1)).as("__hot_n"), sum(rowBytes.cast("long")).as("__key_bytes"))
+    val hotRows = perKey.filter(col("__hot_n") > maxBlock)
+      .select(kc :+ col("__hot_n"): _*)
+      .limit(hotKeyCap + 1).collect()
+    val totals = perKey.agg(
+      coalesce(sum(col("__key_bytes")), lit(0L)).as("b")).head
+    val measuredBytes = totals.getLong(0)
+    val shuffleRegime = bcThreshold <= 0 || measuredBytes > bcThreshold
+
     val joined =
-      if (!shuffleRegime) plainJoin(rows)
-      else {
-        val hotAgg = rows.groupBy(kc: _*).agg(count(lit(1)).as("__hot_n"))
-          .filter(col("__hot_n") > maxBlock)
-        val hotRows = hotAgg.limit(hotKeyCap + 1).collect()
-        if (hotRows.isEmpty) plainJoin(rows)
-        else if (hotRows.length <= hotKeyCap) {
-          val hotDF = spark.createDataFrame(
-            java.util.Arrays.asList(hotRows: _*), hotAgg.schema)
-          val tagged = rows.join(broadcast(hotDF), keyCols, "left")
-          val cold = tagged.filter(col("__hot_n").isNull).drop("__hot_n")
-          val hot = tagged.filter(col("__hot_n").isNotNull)
-            .withColumn("__s",
-              ceil(col("__hot_n").cast("double") / maxBlock).cast("int"))
-            .drop("__hot_n")
-          plainJoin(cold).unionByName(triangle(hot))
-        } else {
-          // window-computed __s for every row; s = 1 keys keep a degenerate
-          // (0,0) triangle — correct, just not split
-          val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
-          triangle(rows.withColumn("__s",
-            ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int")))
-        }
+      if (!shuffleRegime) plainJoin(rows, shuffleRegime = false)
+      else if (hotRows.isEmpty) plainJoin(rows, shuffleRegime = true)
+      else if (hotRows.length <= hotKeyCap) {
+        val hotSchema = org.apache.spark.sql.types.StructType(
+          keyCols.map(c => rows.schema(c)) :+
+            org.apache.spark.sql.types.StructField("__hot_n",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        val hotDF = spark.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), hotSchema)
+        val tagged = rows.join(broadcast(hotDF), keyCols, "left")
+        val cold = tagged.filter(col("__hot_n").isNull).drop("__hot_n")
+        val hot = tagged.filter(col("__hot_n").isNotNull)
+          .withColumn("__s",
+            ceil(col("__hot_n").cast("double") / maxBlock).cast("int"))
+          .drop("__hot_n")
+        plainJoin(cold, shuffleRegime = true).unionByName(triangle(hot))
+      } else {
+        // window-computed __s for every row; s = 1 keys keep a degenerate
+        // (0,0) triangle — correct, just not split
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+        triangle(rows.withColumn("__s",
+          ceil(count(lit(1)).over(w).cast("double") / maxBlock).cast("int")))
       }
 
     // orientation normalization: which triangle side a hot row fans to is a
