@@ -149,14 +149,13 @@ object Blocking {
     // synthesize plan can't see string widths; trusting that estimate made
     // the engine broadcast a 170 MB relation (measured 83 s → 120 s at 2
     // cores, and at larger mis-estimates it would be a driver OOM). The
-    // probe aggregate below therefore also sums the concatenated string
-    // width of every (atomic) column — a one-pass measured bound on the
-    // relation's bytes, the same scale as the planner's own per-type width
+    // regime decision therefore uses a MEASURED per-column width sum — one
+    // shuffle-free pass, the same scale as the planner's own per-type width
     // accounting (a broadcast hash relation adds object overhead, but at a
     // 10 MB threshold that is ≤ ~30 MB of heap — safe). The chosen strategy
-    // is then ENFORCED
-    // with an explicit broadcast hint, so the decision and the physical
-    // join can never diverge. Threshold disabled (≤ 0) ⇒ shuffle regime.
+    // is then ENFORCED with an explicit broadcast hint, so the decision and
+    // the physical join can never diverge. Threshold disabled (≤ 0) ⇒
+    // shuffle regime.
     // Precondition of the broadcast fast path: the stream side's
     // parallelism is the input's partitioning — every engine call site
     // keeps inputs spread (Dedup.spread / the prepared relation).
@@ -210,10 +209,8 @@ object Blocking {
     // unconditionally (window count → triangle for all, the first cut)
     // shuffled the whole relation three times and duplicated every row into
     // both triangle sides — measured 3-4× the plain join on the banded LSH
-    // relations, where >99.99% of keys are not hot. ONE aggregate pass
-    // yields (a) per-key counts for the hot set and (b) the measured byte
-    // total for the regime decision (the two driver actions below share the
-    // aggregate's shuffle files). The driver then picks the plan:
+    // relations, where >99.99% of keys are not hot. The driver picks the
+    // plan from two cheap measurements (details below):
     //  - measured bytes broadcastable: plain join with a broadcast hint —
     //    fan-out spreads over stream partitions by construction, no salt
     //    or pin needed regardless of skew;
@@ -230,25 +227,34 @@ object Blocking {
     // The probe is the same bounded-collect pattern as
     // ConnectedComponents.stringDictionary and Similarity.centroidSample;
     // the collected set is capped at ~few MB.
-    val atomicCols = (keyCols ++ Seq(idCol) ++ payloadCols).filter { c =>
+    //
+    // Two driver actions, each one pass, the second only when needed:
+    //  1. measured bytes — a SHUFFLE-FREE global aggregate (partial sums to
+    //     one row per partition); actual widths for strings/binary, fixed
+    //     8 B for numeric/temporal scalars, complex types skipped (no
+    //     engine call site passes them), no per-row cast or concat;
+    //  2. the per-key hot aggregate — run ONLY in the shuffle regime (in
+    //     the broadcast regime skew needs no treatment, so the probe would
+    //     buy nothing but its aggregate job).
+    val rowBytes = (keyCols ++ Seq(idCol) ++ payloadCols).map { c =>
       rows.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType =>
+          coalesce(octet_length(col(c)).cast("long"), lit(0L))
         case _: org.apache.spark.sql.types.ArrayType |
              _: org.apache.spark.sql.types.MapType |
-             _: org.apache.spark.sql.types.StructType => false
-        case _ => true
+             _: org.apache.spark.sql.types.StructType => lit(0L)
+        case _ => lit(8L)
       }
-    }
-    val rowBytes = octet_length(concat_ws(" ",
-      atomicCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
-    val perKey = rows.groupBy(kc: _*).agg(
-      count(lit(1)).as("__hot_n"), sum(rowBytes.cast("long")).as("__key_bytes"))
-    val hotRows = perKey.filter(col("__hot_n") > maxBlock)
-      .select(kc :+ col("__hot_n"): _*)
-      .limit(hotKeyCap + 1).collect()
-    val totals = perKey.agg(
-      coalesce(sum(col("__key_bytes")), lit(0L)).as("b")).head
-    val measuredBytes = totals.getLong(0)
+    }.reduce(_ + _)
+    val measuredBytes =
+      rows.agg(coalesce(sum(rowBytes.cast("long")), lit(0L))).head.getLong(0)
     val shuffleRegime = bcThreshold <= 0 || measuredBytes > bcThreshold
+
+    lazy val hotRows = rows.groupBy(kc: _*)
+      .agg(count(lit(1)).as("__hot_n"))
+      .filter(col("__hot_n") > maxBlock)
+      .limit(hotKeyCap + 1).collect()
 
     val joined =
       if (!shuffleRegime) plainJoin(rows, shuffleRegime = false)
