@@ -56,8 +56,8 @@ object Bench {
     // contended host window cannot poison both samples of many queries at
     // once (the round-4 official record did exactly that: back-to-back
     // best-of-2 with a window that outlived both runs). A fixed-work
-    // calibration probe (sum of xxhash64 over a fixed range — pure CPU, no
-    // I/O, deterministic plan) runs before each pass and once at the end;
+    // calibration probe (bit_xor of xxhash64 over a fixed range — pure CPU,
+    // no I/O, deterministic plan) runs before each pass and once at the end;
     // all probe times land in the JSON, so a contended window is FLAGGED IN
     // THE RECORD (`contention_ratio` = max/min probe time) instead of
     // silently becoming the record.
