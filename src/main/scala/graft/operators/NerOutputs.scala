@@ -417,11 +417,38 @@ object NerOutputs {
           } else out += (("DAIRE_NO", i, i + 2))
         }
       }
+      // the official e-government door-number phrases: "dis kapi no [:] N"
+      // is the OUTER door (building number), "ic kapi no [:] [N]" the INNER
+      // door (flat number) — gold tags the full phrase incl. the dis/ic
+      // qualifier, and a dangling "ic kapi no :" with the value dropped (or
+      // followed by a 5-digit postcode, which is NOT the value) is still a
+      // span; bare "kapi 6" (no "no") is a flat number
+      if (t == "no" && i > 0 && tokens(i - 1) == "kapi" && !covered(i) &&
+          !covered(i - 1)) {
+        val qual = i > 1 && (tokens(i - 2) == "dis" || tokens(i - 2) == "ic") &&
+          !covered(i - 2)
+        val s0 = if (qual) i - 2 else i - 1
+        val tpe = if (qual && tokens(i - 2) == "ic") "DAIRE_NO" else "BINA_NO"
+        val j = if (i + 1 < T && tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
+        val e =
+          if (j < T && digits(tokens(j)) && tokens(j).length <= 4) {
+            if (j + 1 < T && tokens(j + 1).length == 1 &&
+              tokens(j + 1).charAt(0).isLetter && !covered(j + 1) &&
+              (j + 2 >= T || (tokens(j + 2) != ":" && tokens(j + 2) != "blok" &&
+                !digits(tokens(j + 2))))) j + 2 else j + 1
+          } else if (i + 1 < T && tokens(i + 1) == ":") i + 2 else i + 1
+        out += ((tpe, s0, e))
+      } else if (t == "kapi" && !covered(i) && i + 1 < T &&
+          tokens(i + 1) != "no" && digits(tokens(i + 1)) &&
+          tokens(i + 1).length <= 4 && !covered(i + 1)) {
+        out += (("DAIRE_NO", i, i + 2))
+      }
       // building number: "[bina] no|numara|n [:] 12 [x]" — keyword + digits
       // (+ trailing single letter: "no 85 a"); "bina : 7 [/ 12]"; a bare
       // defective "no" is tagged alone or with its slashed number ("no / 5")
       if ((t == "no" || t == "numara" ||
-          (t == "n" && i + 1 < T && tokens(i + 1) == ":")) && !covered(i)) {
+          (t == "n" && i + 1 < T && tokens(i + 1) == ":")) && !covered(i) &&
+          !(i > 0 && tokens(i - 1) == "kapi" && !covered(i - 1))) {
         val s0 = if (i > 0 && tokens(i - 1) == "bina" && !covered(i - 1)) i - 1 else i
         val j = if (i + 1 < T && tokens(i + 1) == ":" && i + 2 < T) i + 2 else i + 1
         if (j < T && digits(tokens(j)) && tokens(j).length <= 4) {

@@ -53,6 +53,16 @@ class NerBioSpec extends AnyFunSuite {
     assert(sp("yali cad no 9 / d").contains("BINA_NO" -> "no 9 / d"))
     assert(sp("yali cad no : 6 / 3").contains("BINA_NO" -> "no : 6"))
     assert(sp("yali cad no : 6 / 3").contains("DAIRE_NO" -> "/ 3"))
+    // official door-number phrases: dis kapi = building, ic kapi = flat;
+    // dangling "ic kapi no :" (value dropped / followed by a postcode) still
+    // spans; bare "kapi 6" is a flat number
+    assert(sp("yucel sk dis kapi no : 8 b daire no : 4")
+      .contains("BINA_NO" -> "dis kapi no : 8 b"))
+    assert(sp("koop cad dis kapi no : 35 ic kapi no : 09760 aydin")
+      .contains("DAIRE_NO" -> "ic kapi no :"))
+    assert(sp("koop cad dis kapi no : 35 ic kapi no : 09760 aydin")
+      .contains("BINA_NO" -> "dis kapi no : 35"))
+    assert(sp("2691 sk kapi 6 bina b").contains("DAIRE_NO" -> "kapi 6"))
     // bina/n/numara keyword family; bare defective forms
     assert(sp("sema cad bina no : 19 daire no : 2").contains("BINA_NO" -> "bina no : 19"))
     assert(sp("guzel sk n : 5").contains("BINA_NO" -> "n : 5"))
