@@ -7,15 +7,25 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): runs the headline queries on
   * `SPARK_GRAFT_SF_DIR` at `local[SPARK_GRAFT_CPUS]`, prints ONE JSON line.
   *
-  * Robustness (round-2 + round-4 verdict items):
-  *  - best-of-N per query over INTERLEAVED suite passes (pass 1 runs every
+  * Robustness (round-2/4/5 verdict items — the record must SHED host
+  * contention, not merely flag it):
+  *  - per-query samples come from INTERLEAVED suite passes (pass 1 runs every
   *    query, then pass 2, …) — the first pass absorbs JVM/JIT/page-cache
   *    warm-up, and a query's samples land minutes apart so one sustained
-  *    contended host window can't poison all of them (the round-4 official
-  *    record's failure mode); a fixed-work calibration probe brackets each
-  *    pass and its times + every per-query sample are recorded in the JSON
-  *    (`calibration_secs`, `contention_ratio`, `samples`) so a noisy window
-  *    is visible in-record;
+  *    contended host window can't poison all of them;
+  *  - every pass is BRACKETED by a fixed-work calibration probe (pure-CPU
+  *    xxhash64 fold, deterministic plan). A pass is CLEAN iff both bracketing
+  *    probes are within `CleanRatio` (1.3×) of the session-best probe. The
+  *    official per-query time is the min over CLEAN-pass samples only; when
+  *    no pass is clean after the minimum `runs` passes, EXTRA passes run
+  *    (cap `SPARK_GRAFT_BENCH_MAX_RUNS`, default 6) until one is — so a
+  *    transient contended window costs extra passes, not the record. Only a
+  *    host contended for the whole session leaves `official_window:"flagged"`
+  *    (then: min over all samples, impeached by its own probes in-record);
+  *  - the same acceptance rule guards the cold-pipeline throughput samples
+  *    (probe between samples; extra cold runs until one is probe-clean);
+  *  - everything stays in the JSON: all per-query samples, all probe times,
+  *    `contention_ratio` (max/min probe), `clean_passes`, `cold_clean`;
   *  - failures are RECORDED, not swallowed: a crashing query lands in
   *    `failed` with its message and is excluded from `total`/`pages_per_sec`;
   *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` (default
@@ -44,23 +54,22 @@ object Bench {
     case '\t' => "\\t"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
+  /** A pass/sample is clean iff its bracketing probes are within this factor
+    * of the session-best probe time. */
+  val CleanRatio = 1.3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val maxRuns = math.max(runs,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "6").toInt)
     val spark = Sessions.local("graft-bench", cpus)
 
-    // Contention-proofing (round-4 verdict item 2): the per-query samples are
-    // taken in INTERLEAVED suite passes — pass 1 runs every query, then pass
-    // 2 — so a query's N samples are minutes apart and one sustained
-    // contended host window cannot poison both samples of many queries at
-    // once (the round-4 official record did exactly that: back-to-back
-    // best-of-2 with a window that outlived both runs). A fixed-work
-    // calibration probe (bit_xor of xxhash64 over a fixed range — pure CPU,
-    // no I/O, deterministic plan) runs before each pass and once at the end;
-    // all probe times land in the JSON, so a contended window is FLAGGED IN
-    // THE RECORD (`contention_ratio` = max/min probe time) instead of
-    // silently becoming the record.
+    // Fixed-work calibration probe (bit_xor of xxhash64 over a fixed range —
+    // pure CPU, no I/O, deterministic plan). Probe times bracket every
+    // measurement window; a window whose brackets run slow was contended and
+    // its samples are excluded from the official numbers (see class doc).
     def probe(): Double = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: a sum of 400M xxhash64 longs overflows under ANSI
@@ -75,15 +84,28 @@ object Bench {
     val names = headline.filter(SparkEntry.queries.contains)
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
+    // pass p's samples per query (parallel to `samples`; NaN = failed run)
+    val passSamples = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to runs) {
-      calib += probe()
+    // probe indices: calib(p-1) and calib(p) bracket pass p (1-based)
+    calib += probe()
+    def passIsClean(p: Int): Boolean = {
+      val best = calib.min
+      calib(p - 1) <= CleanRatio * best && calib(p) <= CleanRatio * best
+    }
+    var pass = 0
+    var done = false
+    while (!done) {
+      pass += 1
+      val thisPass = scala.collection.mutable.LinkedHashMap[String, Double]()
       for (name <- names) {
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          samples(name) += (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          samples(name) += dt
+          thisPass(name) = dt
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -94,13 +116,30 @@ object Bench {
         // shared linkage-pipeline cache in Queries is deliberately kept)
         graft.operators.Dedup.releaseCaches(spark)
       }
+      calib += probe()
+      passSamples += thisPass.toMap
+      // adaptive: past the minimum pass count, keep going only while NO pass
+      // is probe-clean (cap maxRuns — a genuinely unusable host stays flagged)
+      val anyClean = (1 to pass).exists(passIsClean)
+      done = (pass >= runs && anyClean) || pass >= maxRuns
+      if (!done)
+        System.err.println(f"[bench] pass $pass noisy (probes ${calib.map(c => f"$c%.2f").mkString(",")}) — running extra pass")
     }
-    calib += probe()
+    val cleanPasses = (1 to pass).filter(passIsClean)
+    val officialClean = cleanPasses.nonEmpty
 
-    // a query is failed only if NO pass succeeded — a valid measurement from
+    // Official per-query time: min over CLEAN-pass samples (a query that
+    // only ever succeeded in noisy passes falls back to its overall min).
+    // A query is failed only if NO pass succeeded — a valid measurement from
     // pass 1 is not discarded by a transient failure on pass 2 (round-2
     // ADVICE); the error is still reported alongside.
-    val ok = names.collect { case n if samples(n).nonEmpty => n -> samples(n).min }
+    def officialOf(n: String): Option[Double] = {
+      val clean = cleanPasses.flatMap(p => passSamples(p - 1).get(n))
+      if (clean.nonEmpty) Some(clean.min)
+      else if (samples(n).nonEmpty) Some(samples(n).min)
+      else None
+    }
+    val ok = names.flatMap(n => officialOf(n).map(n -> _))
     val failed = names.collect { case n if samples(n).isEmpty && errs.contains(n) => n -> errs(n) }
     val flaky = names.collect { case n if samples(n).nonEmpty && errs.contains(n) => n -> errs(n) }
 
@@ -115,24 +154,48 @@ object Bench {
     // recorded in the JSON so a noisy window is visible instead of silent.
     val nPages = Queries.pagesFor(sfDir)
     val coldRunsN = sys.env.getOrElse("SPARK_GRAFT_COLD_RUNS", "3").toInt
-    val coldSamples: Seq[Double] = SparkEntry.queries.get("q_scored_pairs")
-      .map { fn =>
-        (1 to coldRunsN).flatMap { i =>
-          Queries.resetPipelineCache(spark)
-          graft.operators.Dedup.releaseCaches(spark)
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] cold run $i failed: ${e.getMessage}")
-              None
-          }
+    val coldMax = math.max(coldRunsN,
+      sys.env.getOrElse("SPARK_GRAFT_COLD_MAX_RUNS", "6").toInt)
+    // cold samples under the SAME clean-window acceptance rule: each sample
+    // is bracketed by probes; official = min over probe-clean samples
+    val coldSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val coldClean = scala.collection.mutable.ArrayBuffer[Boolean]()
+    SparkEntry.queries.get("q_scored_pairs").foreach { fn =>
+      var before = probe(); calib += before
+      var i = 0
+      var coldDone = false
+      while (!coldDone) {
+        i += 1
+        Queries.resetPipelineCache(spark)
+        graft.operators.Dedup.releaseCaches(spark)
+        val t0 = System.nanoTime()
+        val sample = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] cold run $i failed: ${e.getMessage}")
+            None
         }
-      }.getOrElse(Seq.empty)
-    val pagesPerSec = if (coldSamples.nonEmpty) nPages / coldSamples.min else 0.0
+        val after = probe(); calib += after
+        sample.foreach { s =>
+          coldSamples += s
+          coldClean += (before <= CleanRatio * calib.min && after <= CleanRatio * calib.min)
+        }
+        before = after
+        coldDone = (i >= coldRunsN && coldClean.contains(true)) || i >= coldMax
+      }
+    }
+    val coldOfficial = coldSamples.indices.collect {
+      case i if coldClean(i) => coldSamples(i)
+    }
+    val coldBest =
+      if (coldOfficial.nonEmpty) Some(coldOfficial.min)
+      else if (coldSamples.nonEmpty) Some(coldSamples.min)
+      else None
+    val pagesPerSec = coldBest.map(nPages / _).getOrElse(0.0)
     val coldJson = coldSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val coldCleanJson = coldClean.map(_.toString).mkString("[", ",", "]")
 
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fs = failed.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
@@ -145,8 +208,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val calibJson = calib.map(s => f"$s%.3f").mkString("[", ",", "]")
     val contention = if (calib.nonEmpty) calib.max / calib.min else 1.0
+    val cleanPassesJson = cleanPasses.mkString("[", ",", "]")
+    val officialWindow =
+      if (officialClean && (coldSamples.isEmpty || coldOfficial.nonEmpty)) "clean"
+      else "flagged"
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$sampJson,"failed":$fs,"flaky":$fl,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"cold_pipeline_secs":$coldJson,"calibration_secs":$calibJson,"contention_ratio":$contention%.2f,"runs_per_query":$runs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$sampJson,"failed":$fs,"flaky":$fl,"sf":"$sfDir","n_pages":$nPages,"pages_per_sec":$pagesPerSec%.1f,"cold_pipeline_secs":$coldJson,"cold_clean":$coldCleanJson,"calibration_secs":$calibJson,"contention_ratio":$contention%.2f,"clean_passes":$cleanPassesJson,"official_window":"$officialWindow","runs_per_query":$pass}"""
     println(json)
     // sentinel line so the driver's parser finds the record in sbt log noise
     // ("parsed": null in BENCH_r01/r02) regardless of surrounding output
