@@ -400,6 +400,20 @@ object Queries {
       s2.scored.select(col("url_a"), col("url_b"),
         round(col("score"), 4).as("score"), col("is_match")).orderBy("url_a", "url_b")
     }),
+    "q_incremental_dedup" -> ((s, dir) => {
+      // two-batch incremental MinHash dedup over a split of the documents
+      // table; the accumulated pair state must equal the full-corpus
+      // minhashPairs run (asserted in IncrementalDedupSpec — here the state
+      // is the checkable output; no DuckDB oracle: engine-hash LSH)
+      implicit val sp = s
+      val docs = t(dir, "documents")
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+      val b = docs.filter(col("doc_id") % 3 === 0)
+      val st0 = graft.streaming.IncrementalDedup.empty(docs, "doc_id", "text")
+      val s1 = graft.streaming.IncrementalDedup.step(st0, a, "doc_id", "text", threshold = 0.5)
+      val s2 = graft.streaming.IncrementalDedup.step(s1.state, b, "doc_id", "text", threshold = 0.5)
+      s2.state.pairs.orderBy("id_a", "id_b")
+    }),
     "q_linkage_f1" -> ((s, dir) => {
       val sc = scoredFor(s, dir)
       val gold = sc.select(col("url_a"), col("url_b"),
@@ -419,7 +433,11 @@ object Queries {
   // ------------------------------------------------------------------------
   // DuckDB oracle SQL (only for queries whose semantics are SQL-expressible
   // over the same parquet tables; RE2 quirks: no lookaround → capture-group
-  // twins of the lookahead patterns, global flag 'g' explicit).
+  // twins of the lookahead patterns, global flag 'g' explicit). Whitespace
+  // tokenization uses the explicit class '[ \t\n\x0b\f\r]+' — Java's \s (the
+  // engine tokenizer) includes vertical tab, RE2's \s does not, so a bare
+  // '\s+' oracle would silently rely on the corpus never containing VT
+  // (ADVICE r5); the explicit class makes both tokenizers agree on ANY input.
   // ------------------------------------------------------------------------
 
   private val normPunctSql =
@@ -470,15 +488,15 @@ object Queries {
     "q_extract_regex" ->
       "SELECT event_id, regexp_extract(props, '(\\d+)', 1) AS num FROM events ORDER BY event_id",
     "q_token_count" ->
-      """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+      """SELECT doc_id, len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> len(x) > 0)) AS n_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH r AS (SELECT doc_id,
-         | len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(${duckList(TextFunctions.EnStopwords)}, x))) * 1.0
-         |   / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS enr,
-         | len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains(${duckList(TextFunctions.TrStopwords)}, x))) * 1.0
-         |   / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS trr
+         | len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> list_contains(${duckList(TextFunctions.EnStopwords)}, x))) * 1.0
+         |   / len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> len(x) > 0)) AS enr,
+         | len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> list_contains(${duckList(TextFunctions.TrStopwords)}, x))) * 1.0
+         |   / len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> len(x) > 0)) AS trr
          |FROM documents)
          |SELECT doc_id, CASE WHEN enr >= trr AND enr > 0.03 THEN 'en'
          |  WHEN trr > enr AND trr > 0.03 THEN 'tr' ELSE 'und' END AS lang
@@ -486,9 +504,9 @@ object Queries {
     "q_quality" ->
       """SELECT doc_id,
         | round(len(regexp_extract_all(text, '\p{P}')) * 1.0 / len(text), 6) AS punct_ratio,
-        | round(len(list_filter(string_split_regex(lower(text), '\s+'),
+        | round(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
         |   x -> list_contains(['the','a','an','of','and','or','to','in','is','it','on','for','with','as','at','by','this','that','be','are'], x))) * 1.0
-        |   / len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 6) AS stop_ratio
+        |   / len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> len(x) > 0)), 6) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
@@ -496,7 +514,7 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_bow" ->
       """WITH h AS (SELECT doc_id,
-        |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))), ' ')) AS bow_hash
+        |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> len(x) > 0))), ' ')) AS bow_hash
         | FROM documents)
         |SELECT doc_id, bow_hash, min(doc_id) OVER (PARTITION BY bow_hash) AS rep_id
         |FROM h ORDER BY doc_id""".stripMargin,
@@ -581,7 +599,7 @@ object Queries {
     // 6dp — mirroring Spark's filter-then-round composition.
     "q_ngram_jaccard" ->
       """WITH toks AS (
-        | SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ls
+        | SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> len(x) > 0) AS ls
         | FROM documents),
         |g AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(ls) - 1),

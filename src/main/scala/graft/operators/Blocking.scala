@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 
 /** Blocking-key derivation + skew-salted candidate-pair self-join.
@@ -74,6 +77,36 @@ object Blocking {
     * triangle (no driver materialization). 10^5 keys ≈ a few MB. */
   val MaxCollectedHotKeys = 100000
 
+  // Probe memoization (round-5 verdict item 4): the catalog's repeated dedup
+  // queries re-ran the measured-bytes pass + hot-key probe on the SAME
+  // persisted relation every invocation (~0.5 s per dedup query at sf0.1).
+  // Both probe results are pure functions of (relation contents, probed
+  // columns, maxBlock), so they are memoized per session, keyed by the
+  // relation's CANONICALIZED logical plan — the same plan identity Spark's
+  // own CacheManager matches cached relations with, so two DataFrames that
+  // would read the same cache entry share one probe. Entries keyed by a
+  // stopped session are dropped on every access (the Queries.prepCache
+  // eviction pattern) so a long-lived JVM cycling sessions can't accumulate
+  // plans. Correctness burden is unchanged: the probes already required a
+  // deterministic-or-persisted input (see saltedSelfJoin's scaladoc) — the
+  // memo only removes the repeat cost.
+  private val bytesMemo =
+    TrieMap[(SparkSession, LogicalPlan, Seq[String]), Long]()
+  private val hotMemo =
+    TrieMap[(SparkSession, LogicalPlan, Seq[String], Int, Int), Array[Row]]()
+
+  private def evictStoppedProbes(): Unit = {
+    bytesMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bytesMemo.remove)
+    hotMemo.keys.filter(_._1.sparkContext.isStopped).foreach(hotMemo.remove)
+  }
+
+  /** Drop every memoized probe result for `spark` (test hook; production
+    * sessions only need the stopped-session eviction above). */
+  private[graft] def clearProbeMemo(spark: SparkSession): Unit = {
+    bytesMemo.keys.filter(_._1 eq spark).foreach(bytesMemo.remove)
+    hotMemo.keys.filter(_._1 eq spark).foreach(hotMemo.remove)
+  }
+
   /** Generic skew-salted self-join: every candidate-pair generator in the
     * engine (blocking keys, MinHash/SimHash/hyperplane band buckets, PPJoin
     * prefix shingles) routes through this ONE fan-out so the bounded-task
@@ -93,6 +126,25 @@ object Blocking {
     * Output orientation is NORMALIZED: `<id>_a < <id>_b` always (payloads
     * swap with their ids), so the result is deterministic and independent of
     * which triangle side a row landed on.
+    *
+    * PRECONDITION — deterministic or persisted input: the operator executes
+    * `df` up to four times (measured-bytes probe, hot-key probe, both join
+    * branches), and the regime/hot decisions must describe the same data the
+    * join then executes on. A nondeterministic, unpersisted input (e.g. a
+    * fresh `sample()` or a rand() column) could be classified from one
+    * realization and joined on another — persist such inputs first. Every
+    * engine call site already passes a deterministic or persisted relation
+    * (Dedup's trackPersist, the prepared-pipeline cache). Probe results are
+    * memoized per (session, canonicalized plan), so repeated invocations on
+    * the same persisted relation pay the probes once per session.
+    *
+    * The probed columns (keys, id, payloads) must be scalar/string/binary —
+    * complex types (array/map/struct) are rejected with `require`: the
+    * measured-bytes pass cannot see their width, and counting them as 0
+    * could force-broadcast an arbitrarily large relation (driver OOM).
+    * Pre-serialize a complex payload (to_json / serialized binary) or
+    * re-attach it by id after the pair join, as every dedup path does with
+    * shingle sets and vectors.
     *
     * @param df          one row per (key, record) — a record may appear under
     *                    several keys (LSH bands); the same unordered pair then
@@ -114,6 +166,21 @@ object Blocking {
     val spark = df.sparkSession
     val numParts = spark.sessionState.conf.numShufflePartitions
     val kc = keyCols.map(col)
+
+    // the measured-bytes probe only sees scalar/string/binary widths; a
+    // complex column silently counted as 0 could push a huge relation under
+    // the broadcast threshold (ADVICE r5) — enforce the documented contract
+    val probedCols = keyCols ++ Seq(idCol) ++ payloadCols
+    probedCols.foreach { c =>
+      val dt = rows.schema(c).dataType
+      require(!dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          !dt.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+          !dt.isInstanceOf[org.apache.spark.sql.types.StructType],
+        s"saltedSelfJoin: column '$c' has complex type ${dt.simpleString}; " +
+          "the measured-bytes regime probe cannot size complex columns — " +
+          "pre-serialize the payload (to_json/binary) or re-attach it by id " +
+          "after the pair join (the Dedup pattern)")
+    }
 
     // AQE coalescing is BLIND to join-output amplification: the map-side
     // bytes of these join inputs are tiny relative to the quadratic pair
@@ -228,7 +295,9 @@ object Blocking {
     // ConnectedComponents.stringDictionary and Similarity.centroidSample;
     // the collected set is capped at ~few MB.
     //
-    // Two driver actions, each one pass, the second only when needed:
+    // Two driver actions, each one pass, the second only when needed (and
+    // both memoized per (session, plan) — a catalog re-invocation on the
+    // same persisted relation skips them entirely):
     //  1. measured bytes — a SHUFFLE-FREE global aggregate (partial sums to
     //     one row per partition); actual widths for strings/binary, fixed
     //     8 B for numeric/temporal scalars, complex types skipped (no
@@ -236,25 +305,30 @@ object Blocking {
     //  2. the per-key hot aggregate — run ONLY in the shuffle regime (in
     //     the broadcast regime skew needs no treatment, so the probe would
     //     buy nothing but its aggregate job).
-    val rowBytes = (keyCols ++ Seq(idCol) ++ payloadCols).map { c =>
+    // complex types are excluded by the require above, so every probed
+    // column is either measured (string/binary) or fixed-width (8 B)
+    val rowBytes = probedCols.map { c =>
       rows.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.BinaryType =>
           coalesce(octet_length(col(c)).cast("long"), lit(0L))
-        case _: org.apache.spark.sql.types.ArrayType |
-             _: org.apache.spark.sql.types.MapType |
-             _: org.apache.spark.sql.types.StructType => lit(0L)
         case _ => lit(8L)
       }
     }.reduce(_ + _)
-    val measuredBytes =
-      rows.agg(coalesce(sum(rowBytes.cast("long")), lit(0L))).head.getLong(0)
+    // both probes memoized per (session, canonicalized plan, probe inputs) —
+    // see the memo comment at the top of the object
+    evictStoppedProbes()
+    val planKey = rows.queryExecution.analyzed.canonicalized
+    val measuredBytes = bytesMemo.getOrElseUpdate((spark, planKey, probedCols),
+      rows.agg(coalesce(sum(rowBytes.cast("long")), lit(0L))).head.getLong(0))
     val shuffleRegime = bcThreshold <= 0 || measuredBytes > bcThreshold
 
-    lazy val hotRows = rows.groupBy(kc: _*)
-      .agg(count(lit(1)).as("__hot_n"))
-      .filter(col("__hot_n") > maxBlock)
-      .limit(hotKeyCap + 1).collect()
+    lazy val hotRows = hotMemo.getOrElseUpdate(
+      (spark, planKey, keyCols, maxBlock, hotKeyCap),
+      rows.groupBy(kc: _*)
+        .agg(count(lit(1)).as("__hot_n"))
+        .filter(col("__hot_n") > maxBlock)
+        .limit(hotKeyCap + 1).collect())
 
     val joined =
       if (!shuffleRegime) plainJoin(rows, shuffleRegime = false)

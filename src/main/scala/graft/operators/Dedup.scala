@@ -43,7 +43,7 @@ object Dedup {
   private def purgeStopped(): Unit =
     tracked.keySet().removeIf(s => s.sparkContext.isStopped)
 
-  private def trackPersist(df: DataFrame): DataFrame = {
+  private[graft] def trackPersist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     tracked.synchronized {
       purgeStopped()
@@ -101,7 +101,7 @@ object Dedup {
     *
     * @param cand candidate pairs (id_a, id_b), already deduplicated
     * @param sets per-id state (id, sh: array<string>, nsh: int) */
-  private def verifiedJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
+  private[graft] def verifiedJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
     val expl = sets.select(col("id"), explode(col("sh")).as("shingle"))
     val inter = cand.select("id_a", "id_b")
       .join(expl.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
@@ -146,6 +146,31 @@ object Dedup {
     }: _*)
   }
 
+  /** Per-id shingle state (id, sh: array<string>, nsh: int) — the shared
+    * input of the MinHash signature branch, the size branch, and the exploded
+    * verification branch. Exposed package-private so the incremental dedup
+    * operator builds byte-identical state for its equality guarantee. */
+  private[graft] def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int): DataFrame =
+    spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), shingleN)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+
+  /** LSH band relation (id, band, bucket) from shingle state: bucket = hash
+    * of the band's signature slice. ONLY these three scalar columns ever
+    * enter a self-join — no array payload. Shared with the incremental
+    * operator (same expressions ⇒ same buckets ⇒ equality by construction). */
+  private[graft] def minhashBanded(sets: DataFrame, numHashes: Int,
+                                   bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sets
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `numHashes/bands` rows; docs sharing any band bucket become candidate
     * pairs; candidates are verified with exact shingle-set Jaccard
@@ -159,25 +184,13 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // per-id shingle state, computed once and reused by the signature branch,
-    // the size branch, and the exploded verification branch
-    val sets0 = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), shingleN)).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-    val sets = trackPersist(sets0)
+    // per-id shingle state, computed once and reused by three branches
+    val sets = trackPersist(shingleSets(df, idCol, textCol, shingleN))
 
-    // one row per (id, band, bucket): bucket = hash of the band's slice.
-    // ONLY (id, band, bucket) enters the self-join — no array payload.
     // PERSISTED (skinny: 16 × (id, int, int) rows/doc) because the salted
     // self-join's driver-side hot-key probe plus its two join sides would
     // otherwise re-run the signature computation per consumer.
-    val banded = trackPersist(sets
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
+    val banded = trackPersist(minhashBanded(sets, numHashes, bands))
 
     val cand = Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id",
         Seq.empty, maxBucket)

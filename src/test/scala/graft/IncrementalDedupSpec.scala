@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.streaming.IncrementalDedup
+
+/** Incremental MinHash dedup: touched-bucket increments must accumulate to
+  * EXACTLY the full-corpus [[Dedup.minhashPairs]] result (the
+  * IncrementalLinkage equality pattern applied to banded LSH state). */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // sf0.001 documents + planted exact duplicates whose ids land in a
+  // DIFFERENT (%3) batch than their originals ((id+100000) % 3 == (id+1) % 3),
+  // so cross-batch pairing is actually exercised
+  lazy val docs = {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") < 12)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))).persist()
+  }
+
+  test("3-batch incremental state == full-corpus minhashPairs (row-identical)") {
+    val batches = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    var st = IncrementalDedup.empty(docs, "doc_id", "text")
+    var added = 0L
+    batches.foreach { b =>
+      val s = IncrementalDedup.step(st, b, "doc_id", "text", threshold = 0.5)
+      st = s.state
+      added += s.pairsAdded
+      assert(s.touchedBuckets > 0)
+    }
+    val inc = st.pairs.persist()
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).persist()
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "incremental pair state diverged from full recompute")
+    // each pair emitted exactly once (by the batch of its later member):
+    // the running pairsAdded total IS the full pair count, no dedup needed
+    assert(added == full.count(), s"pairsAdded sum $added != full ${full.count()}")
+    // the planted cross-batch duplicates were all found at jaccard 1
+    assert(inc.filter(col("id_b") >= 100000L && col("id_a") < 100000L &&
+      col("jaccard") === 1.0).count() >= 12)
+    inc.unpersist(); full.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
+  test("a small batch touches few buckets and re-pairs only those") {
+    // batches 1+2 = the accumulated corpus; batch 3 = 4 fresh planted docs
+    val first = docs.filter(col("doc_id") < 100000L)
+    val tiny = docs.filter(col("doc_id") < 4)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val s1 = IncrementalDedup.step(
+      IncrementalDedup.empty(docs, "doc_id", "text"), first, "doc_id", "text",
+      threshold = 0.5)
+    val totalBuckets = s1.state.banded.select("band", "bucket").distinct().count()
+    val s2 = IncrementalDedup.step(s1.state, tiny, "doc_id", "text", threshold = 0.5)
+    // per-batch work is bounded by the batch's bucket footprint (≤ docs ×
+    // bands), independent of the accumulated corpus's bucket count
+    assert(s2.touchedBuckets <= 4 * 16,
+      s"tiny batch touched ${s2.touchedBuckets} buckets")
+    assert(s2.touchedBuckets < totalBuckets,
+      "touched-bucket footprint not smaller than the accumulated state")
+    // each planted doc pairs with (at least) its identical original
+    assert(s2.pairsAdded >= 4)
+    val fresh = s2.state.pairs.filter(col("id_b") >= 200000L)
+    assert(fresh.filter(col("jaccard") === 1.0).count() >= 4)
+    Dedup.releaseCaches(spark)
+  }
+}
