@@ -31,7 +31,8 @@ object GoldDump {
       val idx = Gazetteer.buildIndex(rows)
       sents.foreach { case (sid, toks, tags) =>
         val canon = toks.map(GoldEval.canonToken)
-        val pred = NerOutputs.spans(canon, idx, tarifAnchors = anchors)
+        val pred = NerOutputs.spans(canon, idx, tarifAnchors = anchors,
+            aux = GoldEval.realIndex)
           .filter(_._1 == tpe).map { case (_, s, e) => (s, e) }.toSet
         val gold = GoldEval.tagsToSpans(tags)
           .filter(_._1 == tpe).map { case (_, s, e) => (s, e) }.toSet

@@ -16,7 +16,8 @@ object SpanDebug {
     args.foreach { s =>
       val toks = s.split(" ")
       val sps = graft.operators.NerOutputs.spans(
-        toks.map(graft.operators.GoldEval.canonToken), idx, tarifAnchors = anchors)
+        toks.map(graft.operators.GoldEval.canonToken), idx, tarifAnchors = anchors,
+        aux = graft.operators.GoldEval.realIndex)
       println(s"<$s> -> " + sps.map { case (t, a, b) =>
         s"$t=[${toks.slice(a, b).mkString(" ")}]" }.mkString(" | "))
     }

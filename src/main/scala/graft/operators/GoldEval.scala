@@ -234,6 +234,20 @@ object GoldEval {
     * (gazetteer rows, TARIF anchors) harvested from every OTHER corpus in
     * `byCorpus` — the ONE place the held-out protocol is implemented, shared
     * by [[evaluate]]/[[confusion]] and the `GoldDump miss` diagnostic. */
+  /** Auxiliary closed-class index over the REAL PTT gazetteer
+    * ([[graft.sources.Gazetteer.realRows]]) when the bundled extract is
+    * present. The reference's own parser loads this exact table before
+    * seeing any input (map.py:82-88), so consulting it is in-bounds for the
+    * held-out protocol — it guards gold ANNOTATIONS, not the engine's
+    * static data source. Passed to [[NerOutputs.spans]] as `aux`: real
+    * district names bound the keyword walk, and real neighbourhoods feed
+    * the hierarchy-restricted bare-name probe; it never tags ILCE
+    * occurrences itself (a full index merge was measured net-negative —
+    * real district names over-fire as spans in business-name prose). */
+  lazy val realIndex: Option[Gazetteer.Index] =
+    if (Gazetteer.realRows.isEmpty) None
+    else Some(Gazetteer.buildIndex(Gazetteer.realRows))
+
   def minedFor(byCorpus: Seq[(String, Seq[(Long, Array[String], Array[String])])],
                path: String, mineCross: Boolean = true): (Seq[graft.sources.GazRow], Set[String]) = {
     val otherSents = byCorpus.collect { case (p, ss) if p != path => ss }.flatten
@@ -258,6 +272,7 @@ object GoldEval {
       tagsToSpans(tags).map { case (t, s, e) => (sid, t, s, e) }
     }.toDF("sent_id", "entity_type", "start", "end")
 
+    val auxB = spark.sparkContext.broadcast(if (mineCross) realIndex else None)
     val preds = byCorpus.map { case (path, sents) =>
       val (rows, anchors) = minedFor(byCorpus, path, mineCross)
       val idx = StaticParser.broadcastIndex(spark, rows)
@@ -266,7 +281,7 @@ object GoldEval {
           val ix = idx.value
           it.flatMap { case (sid, toks) =>
             val canon = toks.map(canonToken)
-            NerOutputs.spans(canon, ix, tarifAnchors = anchors)
+            NerOutputs.spans(canon, ix, tarifAnchors = anchors, aux = auxB.value)
               .map { case (t, s, e) => (sid, t, s, e) }
           }
         }.toDF("sent_id", "entity_type", "start", "end")
@@ -285,6 +300,7 @@ object GoldEval {
       return Eval.confusionMatrix(spark.emptyDataset[(Long, Int, String, String)]
         .toDF("sent_id", "pos", "gold_type", "pred_type"))
     val byCorpus = paths.zipWithIndex.map { case (p, i) => (p, readGold(p, i)) }
+    val auxB = spark.sparkContext.broadcast(if (mineCross) realIndex else None)
     val tokens = byCorpus.map { case (path, sents) =>
       val (rows, anchors) = minedFor(byCorpus, path, mineCross)
       val idx = StaticParser.broadcastIndex(spark, rows)
@@ -293,7 +309,7 @@ object GoldEval {
           val ix = idx.value
           it.flatMap { case (sid, toks, tags) =>
             val predTypes = Array.fill(toks.length)("O")
-            NerOutputs.spans(toks.map(canonToken), ix, tarifAnchors = anchors)
+            NerOutputs.spans(toks.map(canonToken), ix, tarifAnchors = anchors, aux = auxB.value)
               .foreach { case (t, s, e) =>
               var k = s
               while (k < e && k < predTypes.length) {

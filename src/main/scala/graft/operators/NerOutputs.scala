@@ -111,7 +111,8 @@ object NerOutputs {
     */
   def spans(tokens: Array[String], idx: Gazetteer.Index,
             nameWalk: Int = 4,
-            tarifAnchors: Set[String] = TarifKw): Seq[(String, Int, Int)] = {
+            tarifAnchors: Set[String] = TarifKw,
+            aux: Option[Gazetteer.Index] = None): Seq[(String, Int, Int)] = {
     val T = tokens.length
     def digits(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
     def nameLike(s: String): Boolean =
@@ -196,7 +197,8 @@ object NerOutputs {
         // token is still claimed even when it names a district, because
         // districts and neighbourhoods share names ("yunusemre mah")
         val j = nameStart(i, digitFirst = true, nameWalk, digitsInWalk = true,
-          walkStop = w => w.length == 1 || idx.distIndex.contains(w))
+          walkStop = w => w.length == 1 || idx.distIndex.contains(w) ||
+            aux.exists(_.distIndex.contains(w)))
         if (j < i) out += (("MAHALLE", j, i + 1))
       }
       // street/avenue: name + canonical indicator (the keyword is part of
@@ -600,27 +602,77 @@ object NerOutputs {
       }
     }
 
-    // --- 4. gazetteer MAHALLE probe for bare (keyword-less) names ---
-    if (!out.exists(_._1 == "MAHALLE")) {
-      val provName = prov.map(_._1).orElse(dist.flatMap(d => idx.distToFirstProv.get(d._1)))
-      val allowedN = dist.map { d =>
-        provName match {
-          case Some(p) => idx.pairToNbhds.getOrElse((p, d._1), Set.empty[String])
-          case None    => idx.distToNbhdUnion.getOrElse(d._1, Set.empty[String])
-        }
+    // --- 3.6 closed-class admin-tail retype: the Turkish address tail runs
+    // "<mahalle> <ilçe> <il>", so when two admin spans sit adjacent (at most
+    // one / or - between) and the real table knows the LEFT one as a
+    // neighbourhood of the RIGHT one's district, the left span is the
+    // MAHALLE — even when its surface form names some other admin unit
+    // elsewhere ("cankaya konak izmir": Çankaya is an Ankara district AND a
+    // Konak neighbourhood; the occurrence sweep typed it ILCE).
+    aux.foreach { ax =>
+      val adminIdx = out.zipWithIndex.collect {
+        case ((t, s, e), oi) if t == "IL" || t == "ILCE" => (t, s, e, oi)
+      }.sortBy(_._2)
+      for (k <- 0 until adminIdx.length - 1) {
+        val (_, sx, ex, oi) = adminIdx(k)
+        val (td, sd, ed, _) = adminIdx(k + 1)
+        val gap = (ex until sd).map(tokens)
+        val adjacent = gap.isEmpty ||
+          (gap.length == 1 && (gap(0) == "/" || gap(0) == "-"))
+        val xName = tokens.slice(sx, ex).mkString(" ")
+        val dName = tokens.slice(sd, ed).mkString(" ")
+        if (adjacent && td == "ILCE" && xName != dName &&
+            ax.distToNbhdUnion.getOrElse(dName, Set.empty[String])(xName))
+          out(oi) = (("MAHALLE", sx, ex))
       }
-      // gold annotation convention (goldset_1k_yegeb.conll): the keyword
-      // token belongs to the span — extend over a following canonical "mah"
-      StaticParser.bestMatch(tokens, idx.nbhdIndex, allowedN)
-        .orElse(if (allowedN.isDefined)
-          StaticParser.bestMatch(tokens, idx.nbhdIndex, None) else None)
-        .foreach { case (n, _, _) =>
-          occurrences(n).foreach { case (s, e) =>
-            val e2 = if (e < T && tokens(e) == "mah") e + 1 else e
-            if (!out.exists { case (_, s2, e2b) => s < e2b && s2 < e2 })
-              out += (("MAHALLE", s, e2))
+    }
+
+    // --- 4. gazetteer MAHALLE probe for bare (keyword-less) names ---
+    // auxiliary closed-class probe: hierarchy-restricted ONLY — a real
+    // neighbourhood of the sentence's recognized district (mined bestMatch
+    // or a positional-ILCE span the real table knows). No unrestricted
+    // fallback: 50k real names matching any stray token would be FP fuel.
+    def auxProbe: Option[(String, Int, Int)] = aux.flatMap { ax =>
+      val distName = dist.map(_._1).orElse(
+        out.collect { case ("ILCE", s, e) => tokens.slice(s, e).mkString(" ") }
+          .find(ax.distToNbhdUnion.contains))
+      distName.flatMap { d =>
+        val p2 = prov.map(_._1).orElse(ax.distToFirstProv.get(d))
+        val allowed = p2.flatMap(p => ax.pairToNbhds.get((p, d)))
+          .getOrElse(ax.distToNbhdUnion.getOrElse(d, Set.empty[String]))
+        StaticParser.bestMatch(tokens, ax.nbhdIndex, Some(allowed))
+      }
+    }
+    // gold tags EVERY mention, so the (restricted) probe hit is projected
+    // onto all its occurrences; overlap with existing spans is checked per
+    // occurrence. The MINED probe still fires only in MAHALLE-less
+    // sentences (its unrestricted fallback over-fires in prose); the aux
+    // probe's hierarchy restriction makes it safe alongside keyword spans.
+    val probeHit: Option[(String, Int, Int)] =
+      if (!out.exists(_._1 == "MAHALLE")) {
+        val provName = prov.map(_._1).orElse(dist.flatMap(d => idx.distToFirstProv.get(d._1)))
+        val allowedN = dist.map { d =>
+          provName match {
+            case Some(p) => idx.pairToNbhds.getOrElse((p, d._1), Set.empty[String])
+            case None    => idx.distToNbhdUnion.getOrElse(d._1, Set.empty[String])
           }
         }
+        // precedence: mined-restricted, then the aux closed-class probe
+        // (hierarchy-restricted — strictly more trustworthy than an
+        // unrestricted guess), then the mined unrestricted fallback
+        StaticParser.bestMatch(tokens, idx.nbhdIndex, allowedN)
+          .orElse(auxProbe)
+          .orElse(if (allowedN.isDefined)
+            StaticParser.bestMatch(tokens, idx.nbhdIndex, None) else None)
+      } else auxProbe
+    probeHit.foreach { case (n, _, _) =>
+      occurrences(n).foreach { case (s, e) =>
+        // gold annotation convention (goldset_1k_yegeb.conll): the keyword
+        // token belongs to the span — extend over a following canonical "mah"
+        val e2 = if (e < T && tokens(e) == "mah") e + 1 else e
+        if (!out.exists { case (_, s2, e2b) => s < e2b && s2 < e2 })
+          out += (("MAHALLE", s, e2))
+      }
     }
     if (out.forall(bare)) out.clear() // bare markers need address context
     out.toSeq.sortBy(_._2)

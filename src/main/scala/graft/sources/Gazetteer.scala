@@ -73,6 +73,44 @@ object Gazetteer {
       }
     }
 
+  // ----------------------- real PTT gazetteer rows --------------------------
+
+  /** The reference ETL (map.py:129-155,211-215) over a raw
+    * `province \t district \t neighbourhood` extract of the PTT xlsx:
+    * static-normalize each level, strip standalone `mah` tokens from the
+    * neighbourhood, drop incomplete rows, preserve file order (the
+    * first-province rule, P6). Shared by [[realRows]] and the executed-
+    * reference differential specs so both read the identical row set. */
+  def rowsFromRawTsv(in: java.io.InputStream): Seq[GazRow] = {
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      src.getLines().flatMap { l =>
+        val fs = l.split("\t", -1)
+        if (fs.length < 3) None
+        else {
+          val p = TrText.normalizeStaticS(fs(0).trim)
+          val d = TrText.normalizeStaticS(fs(1).trim)
+          val n = stripStandaloneMah(TrText.normalizeStaticS(fs(2).trim))
+          if (p.isEmpty || d.isEmpty || n.isEmpty) None
+          else Some(GazRow(p, d, n, ""))
+        }
+      }.toVector
+    } finally src.close()
+  }
+
+  /** The REAL 73,305-row PTT gazetteer (turkiye_posta_kodlari.xlsx), read
+    * from the bundled raw extract when present (empty otherwise, so nothing
+    * hard-depends on it). Closed-class reference data like [[AllProvinces]]:
+    * the reference's own parser loads this exact table before seeing any
+    * input (map.py:82-88), so the NER surface may consult it without
+    * breaking leave-one-corpus-out discipline — it is the engine's static
+    * data source, not corpus-mined annotation knowledge. */
+  lazy val realRows: Seq[GazRow] =
+    Option(getClass.getResourceAsStream("/graft/ref_gaz_raw.tsv.gz")) match {
+      case Some(s) => rowsFromRawTsv(new java.util.zip.GZIPInputStream(s))
+      case None    => Seq.empty
+    }
+
   // ------------------- reference-scale synthesized gazetteer ----------------
 
   /** The reference's real gazetteer is the 73,305-row PTT xlsx

@@ -23,7 +23,7 @@ class RefLookupDifferentialSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  val gazFixture = Paths.get("src/test/resources/ref_gaz_raw.tsv.gz")
+  val gazFixture = Paths.get("src/main/resources/graft/ref_gaz_raw.tsv.gz")
   val lookupFixture = Paths.get("src/test/resources/ref_lookup.json")
 
   private def md5Of(names: Seq[String]): String =

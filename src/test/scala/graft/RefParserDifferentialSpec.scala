@@ -25,32 +25,18 @@ import graft.sources.{GazRow, Gazetteer}
   */
 class RefParserDifferentialSpec extends AnyFunSuite {
 
-  val gazFixture = Paths.get("src/test/resources/ref_gaz_raw.tsv.gz")
+  val gazFixture = Paths.get("src/main/resources/graft/ref_gaz_raw.tsv.gz")
   val caseFixture = Paths.get("src/test/resources/ref_parse.json")
 
   test("2000-case differential vs the executed reference parser on the real PTT gazetteer") {
     assume(Files.exists(gazFixture) && Files.exists(caseFixture),
       "fixtures not present; regenerate with tools/gen_ref_parse_fixture.py")
 
-    // mirror the reference ETL exactly (map.py:129-155): N10 normalize each
-    // level, drop standalone "mah" tokens from the neighbourhood, skip
-    // incomplete rows, preserve xlsx row order (first-province rule)
-    val src = scala.io.Source.fromInputStream(
-      new java.util.zip.GZIPInputStream(Files.newInputStream(gazFixture)), "UTF-8")
-    val rows = try {
-      src.getLines().flatMap { l =>
-        val fs = l.split("\t", -1)
-        if (fs.length < 3) None
-        else {
-          val p = TrText.normalizeStaticS(fs(0).trim)
-          val d = TrText.normalizeStaticS(fs(1).trim)
-          val n = TrText.normalizeStaticS(fs(2).trim)
-            .split(" ").filter(_ != "mah").mkString(" ")
-          if (p.isEmpty || d.isEmpty || n.isEmpty) None
-          else Some(GazRow(p, d, n, ""))
-        }
-      }.toVector
-    } finally src.close()
+    // the production loader mirrors the reference ETL (map.py:129-155): N10
+    // normalize each level, drop standalone "mah" tokens from the
+    // neighbourhood, skip incomplete rows, preserve xlsx row order
+    // (first-province rule) — [[Gazetteer.rowsFromRawTsv]]
+    val rows = Gazetteer.realRows
     assert(rows.length > 70000, s"gazetteer fixture too small: ${rows.length}")
     val idx = Gazetteer.buildIndex(rows)
 

@@ -8,7 +8,7 @@ The sandbox has no openpyxl, so the xlsx is read via zipfile+ElementTree
 Turkey's pickle cache write is disabled (reference tree is read-only).
 
 Outputs (committed as test fixtures):
-  src/test/resources/ref_gaz_raw.tsv.gz   raw (il, ilce, mahalle) rows, xlsx order
+  src/main/resources/graft/ref_gaz_raw.tsv.gz   raw (il, ilce, mahalle) rows, xlsx order
   src/test/resources/ref_parse.json       2,000 (input, province, district,
                                           neighbourhood) cases, seed 20260817
 """
@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _ref_common import XLSX, read_xlsx_rows, patch_reference_io
 
 
-OUT_GAZ = "src/test/resources/ref_gaz_raw.tsv.gz"
+OUT_GAZ = "src/main/resources/graft/ref_gaz_raw.tsv.gz"
 OUT_CASES = "src/test/resources/ref_parse.json"
 
 
