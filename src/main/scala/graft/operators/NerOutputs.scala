@@ -233,8 +233,17 @@ object NerOutputs {
           val (tp, s0, _) = out(adjacent)
           out(adjacent) = (tp, s0, i + 1)
         } else {
+          // the extension (beyond the adjacent token) also stops at closed-
+          // class ADMIN names — a province or real district before the
+          // site-name run is its own span ("mugla platin residance sit"),
+          // not part of the site name. Real NEIGHBOURHOOD names deliberately
+          // do NOT stop the walk: 50k nbhd names cover so much ordinary
+          // Turkish vocabulary ("gunes", "yildiz") that stopping on them
+          // was measured to shred genuine site names (SITE tp 79 -> 65)
           val j = nameStart(i, digitFirst = true, nameWalk, digitsInWalk = true,
-            walkStop = w => w == "yolu" || w == "uzeri")
+            walkStop = w => w == "yolu" || w == "uzeri" ||
+              Gazetteer.AllProvinceSet(w) ||
+              aux.exists(_.distIndex.contains(w)))
           if (j < i) out += (("SITE_ADI", j, i + 1))
           else if (t == "sitesi" && !covered(i)) out += (("SITE_ADI", i, i + 1))
         }
