@@ -88,6 +88,35 @@ class NerBioSpec extends AnyFunSuite {
     assert(sp("koyici evleri sitesi no 3").contains("SITE_ADI" -> "koyici evleri sitesi"))
   }
 
+  test("aux real-gazetteer surface: walk stop, restricted probe, admin-tail retype") {
+    assume(GoldEval.realIndex.nonEmpty, "bundled PTT extract absent")
+    assert(Gazetteer.realRows.size > 70000, s"real rows: ${Gazetteer.realRows.size}")
+    def sp(text: String): Seq[(String, String)] = {
+      val toks = text.split(" ")
+      NerOutputs.spans(toks, idx, aux = GoldEval.realIndex).map { case (t, s, e) =>
+        t -> toks.slice(s, e).mkString(" ") }
+    }
+    // a real district the working index doesn't know still bounds the
+    // mah-walk ("alasehir" stays out of the MAHALLE span)
+    val walk = sp("manisa alasehir fatih mah ziya gokalp cad")
+    assert(walk.contains("MAHALLE" -> "fatih mah"), walk)
+    assert(!walk.exists(_._2 == "alasehir fatih mah"), walk)
+    // hierarchy-restricted bare-name probe: a real neighbourhood of the
+    // sentence's (positionally recognized) district, no mah keyword needed
+    assert(sp("karsisi akcoban tavukculuk mermerli menemen izmir")
+      .contains("MAHALLE" -> "mermerli"))
+    // admin-tail retype: cankaya names an Ankara district AND a Konak
+    // neighbourhood — in the "<x> <ilce> <il>" tail it is the MAHALLE
+    assert(sp("daire : 6 cankaya konak izmir").contains("MAHALLE" -> "cankaya"))
+    // the site-name walk extension stops at closed-class admin names
+    assert(sp("akasya sk bodrum / mugla platin residance sit")
+      .contains("SITE_ADI" -> "platin residance sit"))
+    // aux is additive-only here: without it the walk absorbs the district
+    val noAux = NerOutputs.spans(
+      "manisa alasehir fatih mah ziya gokalp cad".split(" "), idx)
+    assert(noAux.exists { case (t, _, _) => t == "MAHALLE" })
+  }
+
   test("spans: adversarial fuzz never throws and always yields well-formed spans") {
     // the extractor runs inside a mapPartitions kernel at 10^12-page scale —
     // ONE unguarded index on a weird token sequence fails a whole task. Fuzz
