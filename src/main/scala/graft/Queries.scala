@@ -186,6 +186,29 @@ object Queries {
           round(sum("o_totalprice"), 2).as("revenue"))
         .orderBy("c_mktsegment")
     }),
+    "q_bucketed_join" -> ((s, dir) => {
+      implicit val sp = s
+      // co-located join: both sides bucketed+sorted on the join key at write
+      // time, so the join AND the bucket-key aggregation plan with NO
+      // Exchange (PlanSpec asserts it; only the final presentation ORDER BY
+      // shuffles). The 100-TB posture for every repeated equi-join in the
+      // pipeline — see plans/Bucketed.scala. Results are layout-invariant,
+      // hence the plain-SQL oracle.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${math.abs(dir.hashCode)}"
+      graft.plans.Bucketed.writeBucketed(
+        t(dir, "orders").select("o_orderkey", "o_custkey"),
+        s"g_orders_b", s"$tmp/orders", 8, Seq("o_orderkey"))
+      graft.plans.Bucketed.writeBucketed(
+        t(dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+        s"g_lineitem_b", s"$tmp/lineitem", 8, Seq("l_orderkey"))
+      s.table("g_lineitem_b")
+        .join(s.table("g_orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderkey")
+    }),
     "q_set_ops" -> ((s, dir) => {
       implicit val sp = s
       t(dir, "customer").select(col("c_mktsegment").as("v")).distinct()
@@ -476,6 +499,11 @@ object Queries {
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_set_ops" ->
       """SELECT DISTINCT c_mktsegment AS v FROM customer
         |UNION SELECT DISTINCT o_orderpriority AS v FROM orders ORDER BY v""".stripMargin,

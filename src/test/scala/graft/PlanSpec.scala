@@ -40,6 +40,43 @@ class PlanSpec extends AnyFunSuite {
       s"no pushdown:\n$p")
   }
 
+  test("bucketed co-located join: no Exchange for join OR bucket-key agg; equal to plain join") {
+    import org.apache.spark.sql.functions._
+    val sqlc = spark.conf
+    val prevThresh = sqlc.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = sqlc.get("spark.sql.adaptive.enabled")
+    try {
+      // force the shuffle-join regime (the only one available at 100 TB)
+      // and a static plan so the Exchange assertion reads the real layout
+      sqlc.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sqlc.set("spark.sql.adaptive.enabled", "false")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed_spec").toString
+      val left = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val right = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      graft.plans.Bucketed.writeBucketed(left, "spec_li_b", s"$tmp/li", 4, Seq("l_orderkey"))
+      graft.plans.Bucketed.writeBucketed(right, "spec_or_b", s"$tmp/or", 4, Seq("o_orderkey"))
+      val joined = spark.table("spec_li_b")
+        .join(spark.table("spec_or_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"bucketed join/agg shuffled:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected bucket-pairwise SMJ:\n$p")
+      // layout changes nothing about the answer
+      val plainRows = left.join(right, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val bucketRows = joined.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(bucketRows == plainRows)
+    } finally {
+      sqlc.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      sqlc.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS spec_li_b")
+      spark.sql("DROP TABLE IF EXISTS spec_or_b")
+    }
+  }
+
   test("no quadratic join strategy anywhere in the linkage pair plan") {
     val prep = Linkage.prepare(Pages.synthesize(spark, 300).toDF())
     val p = plan(Blocking.candidatePairs(prep, "block_key", "url", Seq("norm"), 50))
