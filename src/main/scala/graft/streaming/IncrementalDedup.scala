@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Blocking, Dedup}
+import graft.plans.StateFs
 
 /** Incremental MinHash near-duplicate detection over batches of documents:
   * each batch computes band signatures for the NEW documents only and forms
@@ -47,6 +48,11 @@ object IncrementalDedup {
 
   case class Step(state: State, touchedBuckets: Long, pairsAdded: Long)
 
+  /** One batch's increment alone (what the streaming driver persists):
+    * the batch's shingle sets, band rows, and freshly verified pairs. */
+  case class Delta(sets: DataFrame, banded: DataFrame, pairs: DataFrame,
+                   touchedBuckets: Long, pairsAdded: Long)
+
   /** Empty state with schemas derived from `like` (any frame with the id and
     * text columns — typically the first batch). */
   def empty(like: DataFrame, idCol: String, textCol: String,
@@ -67,6 +73,18 @@ object IncrementalDedup {
   def step(prev: State, batch: DataFrame, idCol: String, textCol: String,
            shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
            threshold: Double = 0.7, maxBucket: Int = 1000): Step = {
+    val d = delta(prev, batch, idCol, textCol, shingleN, numHashes, bands,
+      threshold, maxBucket)
+    Step(State(prev.sets.unionByName(d.sets),
+        prev.banded.unionByName(d.banded),
+        prev.pairs.unionByName(d.pairs)),
+      d.touchedBuckets, d.pairsAdded)
+  }
+
+  /** The batch increment against accumulated state (see [[step]]). */
+  def delta(prev: State, batch: DataFrame, idCol: String, textCol: String,
+            shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+            threshold: Double = 0.7, maxBucket: Int = 1000): Delta = {
     // batch-local state from the SAME expressions as the full operator;
     // persisted: each feeds the probe + both sides of the salted join, the
     // verification branches, and the returned accumulated state
@@ -109,8 +127,112 @@ object IncrementalDedup {
     val stats = touched.agg(count(lit(1)).as("tb"))
       .crossJoin(fresh.agg(count(lit(1)).as("np"))).head()
 
-    Step(State(allSets, prev.banded.unionByName(newBanded),
-        prev.pairs.unionByName(fresh)),
-      stats.getLong(0), stats.getLong(1))
+    Delta(newSets, newBanded, fresh, stats.getLong(0), stats.getLong(1))
   }
+
+  // ------------------------- persisted state layout -------------------------
+  // Per-batch APPEND-ONLY deltas: `sets_delta_N` / `banded_delta_N` /
+  // `pairs_delta_N` parquet dirs (committed = all three carry _SUCCESS);
+  // state before batch B = plain union of live deltas < B. Compaction every
+  // `compactEvery` batches folds all live deltas into batch B's own delta
+  // and then publishes the `compacted_B` marker (marker LAST — a crash
+  // before it leaves an oversized but CORRECT state, the IncrementalLinkage
+  // argument without its supersede logic: pairs never change, so no
+  // last-touch merge exists to get wrong). Superseded deltas are GC'd at
+  // the start of the next batch, never in the batch that wrote the marker
+  // (foreachBatch re-delivers a batch whose commit crashed).
+
+  def committedBatches(stateDir: String): Seq[Long] =
+    StateFs.listNames(stateDir)
+      .flatMap(n => StateFs.numericSuffix(n, "sets_delta_"))
+      .filter(b => Seq("sets_delta_", "banded_delta_", "pairs_delta_")
+        .forall(p => StateFs.exists(stateDir, s"$p$b/_SUCCESS")))
+      .distinct.sorted
+
+  def compactions(stateDir: String): Seq[Long] =
+    StateFs.listNames(stateDir)
+      .flatMap(n => StateFs.numericSuffix(n, "compacted_")).sorted
+
+  private def liveBatches(stateDir: String, beforeBatch: Long): Seq[Long] = {
+    val committed = committedBatches(stateDir).filter(_ < beforeBatch)
+    compactions(stateDir).filter(_ < beforeBatch).lastOption match {
+      case Some(base) => committed.filter(_ >= base)
+      case None       => committed
+    }
+  }
+
+  private def gcSuperseded(stateDir: String, currentBatch: Long): Unit =
+    compactions(stateDir).filter(_ < currentBatch).lastOption.foreach { base =>
+      committedBatches(stateDir).filter(_ < base).foreach { b =>
+        Seq("sets_delta_", "banded_delta_", "pairs_delta_")
+          .foreach(p => StateFs.deleteRecursive(stateDir, s"$p$b"))
+      }
+    }
+
+  /** Accumulated state before `beforeBatch`, reconstructed by plain union of
+    * the live committed deltas (empty-state schemas when none exist). */
+  def loadState(spark: SparkSession, stateDir: String, beforeBatch: Long,
+                idCol: String, textCol: String,
+                shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): State = {
+    val live = liveBatches(stateDir, beforeBatch)
+    if (live.isEmpty)
+      empty(emptyDocs(spark, idCol, textCol), idCol, textCol,
+        shingleN, numHashes, bands)
+    else {
+      def union(prefix: String): DataFrame = live
+        .map(b => spark.read.parquet(s"$stateDir/$prefix$b"))
+        .reduce(_ unionByName _)
+      State(union("sets_delta_"), union("banded_delta_"), union("pairs_delta_"))
+    }
+  }
+
+  private def emptyDocs(spark: SparkSession, idCol: String, textCol: String): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(textCol, org.apache.spark.sql.types.StringType))))
+
+  /** Streaming driver: file-source document stream → foreachBatch
+    * incremental delta (the [[IncrementalLinkage.run]] shape for dedup
+    * state). Per-batch state I/O is O(delta) + one O(state) union read;
+    * restart resumes from the checkpoint's consumed-file ledger —
+    * exactly-once per batch. */
+  def run(spark: SparkSession, inDir: String, stateDir: String,
+          checkpoint: String, idCol: String = "doc_id", textCol: String = "text",
+          shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+          threshold: Double = 0.7, maxBucket: Int = 1000,
+          compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingIngest.readDocs(spark, inDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        gcSuperseded(stateDir, batchId)
+        val prev = loadState(sp, stateDir, batchId, idCol, textCol,
+          shingleN, numHashes, bands)
+        val d = delta(prev, batch.toDF().select(idCol, textCol), idCol, textCol,
+          shingleN, numHashes, bands, threshold, maxBucket)
+        val live = liveBatches(stateDir, batchId)
+        val base = compactions(stateDir).filter(_ < batchId).lastOption
+        val doCompact = compactEvery > 0 &&
+          live.count(b => !base.contains(b)) + 1 >= compactEvery
+        if (!doCompact) {
+          d.sets.write.mode("overwrite").parquet(s"$stateDir/sets_delta_$batchId")
+          d.banded.write.mode("overwrite").parquet(s"$stateDir/banded_delta_$batchId")
+          d.pairs.write.mode("overwrite").parquet(s"$stateDir/pairs_delta_$batchId")
+        } else {
+          // compaction batch: this delta IS the full state (plain union —
+          // append-only state has no supersede cases)
+          prev.sets.unionByName(d.sets).write.mode("overwrite")
+            .parquet(s"$stateDir/sets_delta_$batchId")
+          prev.banded.unionByName(d.banded).write.mode("overwrite")
+            .parquet(s"$stateDir/banded_delta_$batchId")
+          prev.pairs.unionByName(d.pairs).write.mode("overwrite")
+            .parquet(s"$stateDir/pairs_delta_$batchId")
+          StateFs.publish(stateDir, s"compacted_$batchId", Array.empty[Byte])
+        }
+        graft.operators.Dedup.releaseCaches(sp)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -33,6 +33,16 @@ object StreamingIngest {
   def readPages(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(pageSchema).parquet(dir)
 
+  /** Schema of the documents table (driver testdata shape). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream of documents ([[graft.streaming.IncrementalDedup]]). */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
   /** Stateless per-batch transform: extract → normalize → block key
     * (the streaming twin of [[Linkage.prepare]]). */
   def prepared(pages: DataFrame, cfg: Linkage.Config = Linkage.Config()): DataFrame =

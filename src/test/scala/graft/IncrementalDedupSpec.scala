@@ -46,6 +46,46 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("streaming drive: persisted deltas + restart resume == full recompute") {
+    val root = java.nio.file.Files.createTempDirectory("inc_dedup_stream").toString
+    val inDir = s"$root/in"; val stateDir = s"$root/state"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def docsFull(r: Int) = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 3 === r)
+    // write each batch as ONE parquet file directly in the stream dir
+    def writeBatch(r: Int): Unit = {
+      val tmp = s"$root/tmp_$r"
+      docsFull(r).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$inDir/docs_$r.parquet"))
+    }
+    // run 1: two input files (one micro-batch under AvailableNow)
+    writeBatch(0); writeBatch(1)
+    IncrementalDedup.run(spark, inDir, stateDir, ckpt,
+      threshold = 0.5, compactEvery = 2).awaitTermination()
+    val afterRun1 = IncrementalDedup.committedBatches(stateDir)
+    assert(afterRun1.nonEmpty, "no committed deltas after run 1")
+    // restart with one NEW file: the checkpoint's ledger skips the consumed
+    // ones; this batch crosses the compactEvery threshold and compacts
+    writeBatch(2)
+    IncrementalDedup.run(spark, inDir, stateDir, ckpt,
+      threshold = 0.5, compactEvery = 2).awaitTermination()
+    val st = IncrementalDedup.loadState(spark, stateDir, Long.MaxValue,
+      "doc_id", "text")
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val full = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5).persist()
+    val inc = st.pairs.persist()
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "persisted streaming state diverged from full recompute")
+    assert(st.sets.count() == all.count(), "sets state incomplete after resume")
+    assert(IncrementalDedup.compactions(stateDir).nonEmpty, "no compaction marker")
+    inc.unpersist(); full.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
   test("a small batch touches few buckets and re-pairs only those") {
     // batches 1+2 = the accumulated corpus; batch 3 = 4 fresh planted docs
     val first = docs.filter(col("doc_id") < 100000L)
