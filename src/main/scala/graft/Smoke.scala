@@ -132,6 +132,29 @@ object Smoke {
       s"pairs_added=${ds2.pairsAdded} total_pairs=${ds2.state.pairs.count()}")
     graft.operators.Dedup.releaseCaches(spark)
 
+    // Custom streaming state: per-block event-time sessions settle once the
+    // watermark passes a block's quiet gap (flatMapGroupsWithState).
+    {
+      import graft.streaming.{BlockSessions, StreamingIngest}
+      val sroot = java.nio.file.Files.createTempDirectory("smoke-sessions").toString
+      incAll.write.parquet(s"$sroot/in/f1")
+      // one far-future page advances the watermark past every block's gap
+      incAll.limit(1).withColumn("warc_ts",
+          col("warc_ts") + expr("INTERVAL 30 DAYS"))
+        .write.parquet(s"$sroot/in/f2")
+      val in = StreamingIngest.prepared(
+        spark.readStream.schema(StreamingIngest.pageSchema).parquet(s"$sroot/in/*"))
+        .withWatermark("warc_ts", "10 minutes")
+      BlockSessions.settled(in, gapMinutes = 60).writeStream
+        .format("parquet").option("path", s"$sroot/out")
+        .option("checkpointLocation", s"$sroot/ckpt").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+      val settled = spark.read.parquet(s"$sroot/out")
+      println(s"[smoke] block_sessions: settled_blocks=${settled.count()} " +
+        s"pages_covered=${settled.agg(sum("n_pages")).head().getLong(0)}")
+    }
+
     // Resumable snapshot pipeline: run twice, second run must resume.
     import graft.plans.{ResumableLinkage, Snapshots}
     val root = java.nio.file.Files.createTempDirectory("smoke-snaps").toString

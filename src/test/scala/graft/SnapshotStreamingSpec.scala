@@ -132,6 +132,52 @@ class SnapshotStreamingSpec extends AnyFunSuite {
       Seq("bucket", "block_key", "n_pages"))
   }
 
+  test("flatMapGroupsWithState block sessions: event-time settle + state survives restart") {
+    import graft.streaming.BlockSessions
+    val inDir = tmpDir("sessions-in")
+    val ckpt = tmpDir("sessions-ckpt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeFile(rows: Seq[(String, java.sql.Timestamp)], name: String): Unit =
+      rows.toDF("block_key", "warc_ts").coalesce(1)
+        .write.parquet(s"$inDir/$name")
+    val outDir = tmpDir("sessions-out") + "/settled"
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema("block_key STRING, warc_ts TIMESTAMP")
+        .parquet(s"$inDir/*")
+        .withWatermark("warc_ts", "10 minutes")
+      // file sink: the memory sink cannot recover from a checkpoint, and
+      // restart recovery is exactly what this test exercises
+      val q = BlockSessions.settled(in, gapMinutes = 60).writeStream
+        .format("parquet").option("path", outDir).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // run 1: block A churns 10:00-10:10 (3 pages), B arrives once at 10:05
+    writeFile(Seq(("A", ts("2024-01-01 10:00:00")), ("A", ts("2024-01-01 10:04:00")),
+      ("A", ts("2024-01-01 10:10:00")), ("B", ts("2024-01-01 10:05:00"))), "f1")
+    runOnce()
+    // run 2 (RESTART over the same checkpoint): B again at 13:00, C at 16:00
+    // → the advancing watermark passes A's (and eventually B's) quiet gap;
+    // their counts must come from run 1's recovered state store
+    writeFile(Seq(("B", ts("2024-01-01 13:00:00"))), "f2")
+    writeFile(Seq(("C", ts("2024-01-01 16:00:00"))), "f3")
+    runOnce()
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    val a = out.get("A")
+    assert(a.nonEmpty, s"block A never settled: $out")
+    assert(a.get._1 == 3 && a.get._2 == ts("2024-01-01 10:00:00") &&
+      a.get._3 == ts("2024-01-01 10:10:00"),
+      s"A's settled summary lost restart state: ${a.get}")
+    // if B settled, BOTH arrivals (across a restart) are in its count
+    out.get("B").foreach { b => assert(b._1 == 2, s"B count lost state: $b") }
+    // C just arrived (watermark 15:50 < its 17:00 timeout): still live
+    assert(!out.contains("C"), s"C settled prematurely: $out")
+  }
+
   test("RunLinkage entry point: submit, resume, and match the library path") {
     val inDir = tmpDir("runlink-in")
     val root = tmpDir("runlink-snap")
