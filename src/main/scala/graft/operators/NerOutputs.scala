@@ -636,6 +636,30 @@ object NerOutputs {
       }
     }
 
+    // --- 3.65 closed-class district-after-province: Turkish addresses also
+    // run top-down ("manisa alasehir fatih mah"); an uncovered token right
+    // after an IL span (optionally across / or -) that the real table lists
+    // as a district OF THAT VERY PROVINCE is its ILCE. The hierarchy gate is
+    // what keeps this safe where the blanket district sweep was measured
+    // net-negative: a road named after some other province's district
+    // ("akhisar caddesi") fails the gate or is already keyword-covered.
+    // (3.65 spans are ILCE CLAIMS only — they are kept out of the step-4
+    // probe's district-context lookup below: feeding them in was measured
+    // to mint wrong bare-MAHALLE claims off the newly typed district)
+    val lateIlce = scala.collection.mutable.Set[Int]()
+    aux.foreach { ax =>
+      out.toSeq.collect { case ("IL", s, e) => (s, e) }.foreach { case (s0, e0) =>
+        val ilName = tokens.slice(s0, e0).mkString(" ")
+        var k = e0
+        if (k < T && (tokens(k) == "/" || tokens(k) == "-")) k += 1
+        if (k < T && nameLike(tokens(k)) && !covered(k) &&
+            ax.provToDistricts.getOrElse(ilName, Set.empty[String])(tokens(k))) {
+          lateIlce += out.length
+          out += (("ILCE", k, k + 1))
+        }
+      }
+    }
+
     // --- 4. gazetteer MAHALLE probe for bare (keyword-less) names ---
     // auxiliary closed-class probe: hierarchy-restricted ONLY — a real
     // neighbourhood of the sentence's recognized district (mined bestMatch
@@ -643,8 +667,10 @@ object NerOutputs {
     // fallback: 50k real names matching any stray token would be FP fuel.
     def auxProbe: Option[(String, Int, Int)] = aux.flatMap { ax =>
       val distName = dist.map(_._1).orElse(
-        out.collect { case ("ILCE", s, e) => tokens.slice(s, e).mkString(" ") }
-          .find(ax.distToNbhdUnion.contains))
+        out.zipWithIndex.collect {
+          case (("ILCE", s, e), oi) if !lateIlce(oi) =>
+            tokens.slice(s, e).mkString(" ")
+        }.find(ax.distToNbhdUnion.contains))
       distName.flatMap { d =>
         val p2 = prov.map(_._1).orElse(ax.distToFirstProv.get(d))
         val allowed = p2.flatMap(p => ax.pairToNbhds.get((p, d)))
