@@ -97,10 +97,13 @@ class NerBioSpec extends AnyFunSuite {
         t -> toks.slice(s, e).mkString(" ") }
     }
     // a real district the working index doesn't know still bounds the
-    // mah-walk ("alasehir" stays out of the MAHALLE span)
+    // mah-walk ("alasehir" stays out of the MAHALLE span) AND is claimed as
+    // the ILCE when the real table confirms it is a district of the
+    // preceding province span
     val walk = sp("manisa alasehir fatih mah ziya gokalp cad")
     assert(walk.contains("MAHALLE" -> "fatih mah"), walk)
     assert(!walk.exists(_._2 == "alasehir fatih mah"), walk)
+    assert(walk.contains("ILCE" -> "alasehir"), walk)
     // hierarchy-restricted bare-name probe: a real neighbourhood of the
     // sentence's (positionally recognized) district, no mah keyword needed
     assert(sp("karsisi akcoban tavukculuk mermerli menemen izmir")
