@@ -97,6 +97,23 @@ object Smoke {
     println(s"[smoke] grouped_cc=${ConnectedComponents.runGrouped(sEdges, "block_key", validate = true).count()} " +
       s"star_cc=${ConnectedComponents.runOnStrings(sEdges.select("src", "dst")).count()} (must be equal)")
 
+    // Bucketed co-located join: zero-Exchange join+agg on the bucket key.
+    {
+      val broot = java.nio.file.Files.createTempDirectory("smoke-bucketed").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_quantity")
+      val or = spark.read.parquet(s"$sfDir/orders.parquet").select("o_orderkey", "o_custkey")
+      graft.plans.Bucketed.writeBucketed(li, "smoke_li_b", s"$broot/li", 4, Seq("l_orderkey"))
+      graft.plans.Bucketed.writeBucketed(or, "smoke_or_b", s"$broot/or", 4, Seq("o_orderkey"))
+      val joined = spark.table("smoke_li_b")
+        .join(spark.table("smoke_or_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      // a BroadcastExchange is fine at smoke scale (tiny dim side); the
+      // bucket layout's job is the absence of SHUFFLE exchanges
+      println(s"[smoke] bucketed_join: orders=${joined.count()} " +
+        s"plan_has_shuffle=${joined.queryExecution.executedPlan.toString.contains("ShuffleExchange")}")
+      spark.sql("DROP TABLE IF EXISTS smoke_li_b"); spark.sql("DROP TABLE IF EXISTS smoke_or_b")
+    }
+
     // BIO corpus (A2E + F2J blend) + distribution stats + gold-corpus eval.
     import graft.operators.GoldEval
     import graft.sources.Bio
