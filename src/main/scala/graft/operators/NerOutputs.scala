@@ -760,24 +760,35 @@ object NerOutputs {
   /** The per-row E6/E7 prediction kernel — ONE implementation shared by
     * [[process]] and [[runCsv]] so the batch and CSV surfaces can never
     * fork: norm text → (pred_tags, entities_json, entities_flat). */
-  private def predictRow(norm: String, idx: Gazetteer.Index): (String, String, String) = {
+  private def predictRow(norm: String, idx: Gazetteer.Index,
+                         aux: Option[Gazetteer.Index] = None): (String, String, String) = {
     val tokens = if (norm == null) Array.empty[String]
                  else norm.split(" ").filter(_.nonEmpty)
-    val sps = spans(tokens, idx)
+    val sps = spans(tokens, idx, aux = aux)
     val ents = aggregateEntities(tokens, sps)
     (spansToBio(tokens.length, sps).mkString(" "),
       entitiesJson(ents), joinEntitiesFlat(ents))
   }
 
-  /** E6: the batched extraction kernel over (url, normalized text). */
+  /** E6: the batched extraction kernel over (url, normalized text).
+    *
+    * @param bAux optional broadcast of a second, closed-class gazetteer index
+    *             (the real PTT table — [[GoldEval.realIndex]]) consulted by
+    *             [[spans]] for walk stops, hierarchy-restricted probes and
+    *             admin-tail retypes. Pass it when `bIdx` holds a PARTIAL
+    *             index (a subset view or a mined working set); callers whose
+    *             `bIdx` is already the full gazetteer gain nothing.
+    */
   def process(df: DataFrame, urlCol: String, normCol: String,
-              bIdx: Broadcast[Gazetteer.Index], batchSize: Int = 32): Dataset[NerRow] = {
+              bIdx: Broadcast[Gazetteer.Index], batchSize: Int = 32,
+              bAux: Option[Broadcast[Gazetteer.Index]] = None): Dataset[NerRow] = {
     import df.sparkSession.implicits._
     df.select(col(urlCol), col(normCol)).as[(String, String)].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val idx = bIdx.value
+        val aux = bAux.map(_.value)
         batch.map { case (url, norm) =>
-          val (bio, json, flat) = predictRow(norm, idx)
+          val (bio, json, flat) = predictRow(norm, idx, aux)
           NerRow(url, norm, bio, json, flat)
         }
       }
@@ -797,7 +808,8 @@ object NerOutputs {
     * verdict item 3). CSV rows have no natural key, so no join key is safe;
     * not joining is. */
   def runCsv(spark: SparkSession, inCsv: String, outCsv: String, textCol: String,
-             bIdx: Broadcast[Gazetteer.Index], batchSize: Int = 32): Unit = {
+             bIdx: Broadcast[Gazetteer.Index], batchSize: Int = 32,
+             bAux: Option[Broadcast[Gazetteer.Index]] = None): Unit = {
     val in = spark.read.option("header", "true").csv(inCsv)
     // collision-proof working column: withColumn REPLACES an existing column
     // in place, so a fixed "__norm" on a CSV that already has that header
@@ -815,8 +827,9 @@ object NerOutputs {
     withNorm.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val idx = bIdx.value
+        val aux = bAux.map(_.value)
         batch.map { r =>
-          val (bio, json, flat) = predictRow(r.getString(normIdx), idx)
+          val (bio, json, flat) = predictRow(r.getString(normIdx), idx, aux)
           org.apache.spark.sql.Row.fromSeq(
             r.toSeq.patch(normIdx, Nil, 1) ++ Seq(bio, json, flat))
         }

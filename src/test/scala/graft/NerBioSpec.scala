@@ -167,6 +167,37 @@ class NerBioSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("url", "address", "pred_tags", "entities_json", "entities_flat"))
   }
 
+  test("process/runCsv thread the aux closed-class index into the kernel") {
+    assume(GoldEval.realIndex.nonEmpty, "bundled PTT extract absent")
+    val bIdx = StaticParser.broadcastIndex(spark)
+    val bAux = GoldEval.realIndex.map(spark.sparkContext.broadcast(_))
+    // a district only the real table knows: aux must flow through the
+    // executor-side batch kernel, not just the local spans() surface
+    val norm = "manisa alasehir fatih mah ziya gokalp cad"
+    val df = Seq(("u1", norm)).toDF("url", "norm")
+
+    val withAux = NerOutputs.process(df, "url", "norm", bIdx, bAux = bAux)
+      .collect().head
+    val noAux = NerOutputs.process(df, "url", "norm", bIdx).collect().head
+    assert(withAux.entities_flat.contains("ILCE=alasehir"), withAux.entities_flat)
+    assert(withAux.entities_flat.contains("MAHALLE=fatih mah"), withAux.entities_flat)
+    assert(!noAux.entities_flat.contains("ILCE=alasehir"), noAux.entities_flat)
+    // the batch kernel must agree exactly with the spans-level aux surface
+    val toks = norm.split(" ")
+    val expected = NerOutputs.joinEntitiesFlat(NerOutputs.aggregateEntities(
+      toks, NerOutputs.spans(toks, idx, aux = GoldEval.realIndex)))
+    assert(withAux.entities_flat == expected)
+
+    // same plumbing through the CSV surface (normalization is a no-op here)
+    val inCsv = Files.createTempDirectory("nercsv-aux-in").toString
+    val outCsv = Files.createTempDirectory("nercsv-aux-out").toString + "/out"
+    df.select(col("url"), col("norm").as("address"))
+      .write.option("header", "true").mode("overwrite").csv(inCsv)
+    NerOutputs.runCsv(spark, inCsv, outCsv, "address", bIdx, bAux = bAux)
+    val back = spark.read.option("header", "true").csv(outCsv).collect().head
+    assert(back.getAs[String]("entities_flat").contains("ILCE=alasehir"))
+  }
+
   test("runCsv: row↔prediction alignment survives repartition + reorder") {
     // The round-3 shape joined two plan branches on monotonically_increasing_id,
     // which only aligned because file-scan layout is deterministic; the kernel
