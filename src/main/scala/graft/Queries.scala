@@ -437,6 +437,36 @@ object Queries {
       val s2 = graft.streaming.IncrementalDedup.step(s1.state, b, "doc_id", "text", threshold = 0.5)
       s2.state.pairs.orderBy("id_a", "id_b")
     }),
+    "q_incremental_simhash" -> ((s, dir) => {
+      // two-batch incremental SimHash over the same split; accumulated pairs
+      // must equal the full-corpus simhashPairs run (IncrementalDedupSpec);
+      // no DuckDB oracle: engine-hash LSH
+      implicit val sp = s
+      val docs = t(dir, "documents")
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+      val b = docs.filter(col("doc_id") % 3 === 0)
+      val st0 = graft.streaming.IncrementalDedup.simhashEmpty(docs, "doc_id", "text")
+      val s1 = graft.streaming.IncrementalDedup.simhashStep(st0, a, "doc_id", "text")
+      val s2 = graft.streaming.IncrementalDedup.simhashStep(s1.state, b, "doc_id", "text")
+      s2.state.pairs.orderBy("id_a", "id_b")
+    }),
+    "q_incremental_embed" -> ((s, dir) => {
+      // two-batch incremental embedding-LSH dedup with the q_embed_dedup
+      // planted duplicates split across batches; accumulated pairs must
+      // equal the full embeddingPairs run (IncrementalDedupSpec); no DuckDB
+      // oracle: engine-hash LSH banding
+      implicit val sp = s
+      val base = t(dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val vecs = base.union(base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val a = vecs.filter(col("vec_id") % 3 =!= 0)
+      val b = vecs.filter(col("vec_id") % 3 === 0)
+      val st0 = graft.streaming.IncrementalDedup.embedEmpty(vecs, "vec_id", "embedding")
+      val s1 = graft.streaming.IncrementalDedup.embedStep(st0, a, "vec_id", "embedding", threshold = 0.99)
+      val s2 = graft.streaming.IncrementalDedup.embedStep(s1.state, b, "vec_id", "embedding", threshold = 0.99)
+      s2.state.pairs.withColumn("cos", round(col("cos"), 2))
+        .orderBy("id_a", "id_b")
+    }),
     "q_linkage_f1" -> ((s, dir) => {
       val sc = scoredFor(s, dir)
       val gold = sc.select(col("url_a"), col("url_b"),

@@ -147,6 +147,22 @@ object Smoke {
     val ds2 = IncrementalDedup.step(ds1.state, dB, "doc_id", "text", threshold = 0.5)
     println(s"[smoke] incremental_dedup: batch2 touched_buckets=${ds2.touchedBuckets} " +
       s"pairs_added=${ds2.pairsAdded} total_pairs=${ds2.state.pairs.count()}")
+    val ss1 = IncrementalDedup.simhashStep(
+      IncrementalDedup.simhashEmpty(dDocs, "doc_id", "text"), dA, "doc_id", "text")
+    val ss2 = IncrementalDedup.simhashStep(ss1.state, dB, "doc_id", "text")
+    println(s"[smoke] incremental_simhash: batch2 pairs_added=${ss2.pairsAdded} " +
+      s"total_pairs=${ss2.state.pairs.count()}")
+    val eVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val eAll = eVecs.union(eVecs.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val es1 = IncrementalDedup.embedStep(
+      IncrementalDedup.embedEmpty(eAll, "vec_id", "embedding"),
+      eAll.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", threshold = 0.99)
+    val es2 = IncrementalDedup.embedStep(es1.state,
+      eAll.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", threshold = 0.99)
+    println(s"[smoke] incremental_embed: batch2 pairs_added=${es2.pairsAdded} " +
+      s"total_pairs=${es2.state.pairs.count()} (expect planted 20 found)")
     graft.operators.Dedup.releaseCaches(spark)
 
     // Custom streaming state: per-block event-time sessions settle once the

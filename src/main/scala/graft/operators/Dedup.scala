@@ -243,6 +243,31 @@ object Dedup {
   def simhash(textCol: Column): Column =
     graft.functions.SimHashUtil.simhash64(textCol)
 
+  /** SimHash band rows (id, sim, band, bucket) — 4×16-bit bands of the 64-bit
+    * signature; the 8-byte `sim` rides along so verification needs no re-join.
+    * Shared by [[simhashPairs]] and the incremental form
+    * ([[graft.streaming.IncrementalDedup.simhashStep]]) so the two can never
+    * band differently. */
+  private[graft] def simhashBanded(df: DataFrame, idCol: String,
+                                   textCol: String): DataFrame = {
+    val withSim = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), simhash(col("text")).as("sim"))
+    withSim.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Candidate generation + Hamming verification over prepared band rows
+    * (the shared tail of the full and incremental SimHash operators). */
+  private[graft] def simhashPairsFromBanded(banded: DataFrame, maxHamming: Int,
+                                            maxBucket: Int): DataFrame =
+    Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id", Seq("sim"), maxBucket)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+
   /** SimHash near-dup pairs: block on 16-bit prefix bands (4 bands ⇒ any pair
     * within Hamming distance 3 shares at least one identical band), verify
     * exact Hamming distance ≤ maxHamming. The banded self-join is skew-salted
@@ -250,19 +275,10 @@ object Dedup {
     * verification is a per-row xor/popcount, no re-join needed. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val withSim = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), simhash(col("text")).as("sim"))
     // persisted: the salted join's hot probe + both sides would otherwise
     // re-hash every document per consumer (skinny 4-rows/doc relation)
-    val banded = trackPersist(withSim.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
-    Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id", Seq("sim"), maxBucket)
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
+    val banded = trackPersist(simhashBanded(df, idCol, textCol))
+    simhashPairsFromBanded(banded, maxHamming, maxBucket)
   }
 
   // --------------------------- n-gram Jaccard ------------------------------
@@ -386,34 +402,53 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      planes: Int = 24, bands: Int = 4,
                      threshold: Double = 0.95, maxBucket: Int = 1000): DataFrame = {
+    val withSig = trackPersist(embedSigs(df, idCol, vecCol, planes))
+
+    // Banded is persisted for the same probe/branch-reuse reason as the
+    // MinHash path (withSig is already cached; this additionally skips
+    // re-exploding).
+    val banded = trackPersist(embedBanded(withSig, planes, bands))
+    val cand = embedCandidates(banded, maxBucket)
+    embedVerify(cand, withSig.select(col("id"), col("vec")), threshold)
+  }
+
+  /** Per-doc embedding state (id, vec, sig) — the hyperplane signature input
+    * to banding. Shared with the incremental form so signatures can never
+    * diverge. */
+  private[graft] def embedSigs(df: DataFrame, idCol: String, vecCol: String,
+                               planes: Int): DataFrame =
+    spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"), hyperplaneSignature(col("vec"), planes).as("sig"))
+
+  /** Hyperplane-LSH band rows (id, band, bucket) from signed projections. */
+  private[graft] def embedBanded(withSig: DataFrame, planes: Int,
+                                 bands: Int): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
     val bits = planes / bands
     val mask = (1L << bits) - 1
-    val withSig = trackPersist(
-      spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-        .select(col("id"), col("vec"), hyperplaneSignature(col("vec"), planes).as("sig")))
-
-    val banded = withSig.select(col("id"),
+    withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
 
-    // skew-salted banded self-join: an embedding duplicate family shares all
-    // band buckets, so without salting one bucket would hold the family's
-    // entire quadratic candidate fan-out in a single task. Banded is
-    // persisted for the same probe/branch-reuse reason as the MinHash path
-    // (withSig is already cached; this additionally skips re-exploding).
-    val cand = Blocking.saltedSelfJoin(trackPersist(banded),
-        Seq("band", "bucket"), "id", Seq.empty, maxBucket)
+  /** Skew-salted banded self-join → deduplicated candidate id pairs: an
+    * embedding duplicate family shares all band buckets, so without salting
+    * one bucket would hold the family's entire quadratic candidate fan-out
+    * in a single task. */
+  private[graft] def embedCandidates(banded: DataFrame, maxBucket: Int): DataFrame =
+    Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id", Seq.empty, maxBucket)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val vecs = withSig.select(col("id"), col("vec"))
+  /** Exact-cosine verification: vectors re-attach to the deduplicated pairs
+    * by skinny equi-joins (never through the banded shuffle). */
+  private[graft] def embedVerify(cand: DataFrame, vecs: DataFrame,
+                                 threshold: Double): DataFrame =
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-  }
 }

@@ -34,6 +34,16 @@ import graft.plans.StateFs
   *
   * Precondition: batches carry DISJOINT document ids (append-only corpus; a
   * re-delivered id would duplicate its band rows and re-emit its pairs).
+  *
+  * The same touched-bucket core serves the whole banded-LSH dedup family:
+  * [[simhashStep]] (4×16-bit bands, Hamming verification from signatures
+  * riding the band rows) and [[embedStep]] (hyperplane bands, exact-cosine
+  * verification against accumulated vectors). n-gram Jaccard (PPJoin) has NO
+  * exact incremental form by construction: its prefix filter depends on the
+  * GLOBAL shingle-frequency order, so a batch can change which shingles form
+  * an OLD document's prefix — any "incremental" variant would either re-rank
+  * the full corpus per batch (O(corpus), not incremental) or silently lose
+  * recall. Use the MinHash family for streaming Jaccard dedup.
   */
 object IncrementalDedup {
 
@@ -93,28 +103,12 @@ object IncrementalDedup {
     val newBanded = Dedup.trackPersist(
       Dedup.minhashBanded(newSets, numHashes, bands))
 
-    // buckets the batch touches — no other bucket can produce a new pair
-    val touched = newBanded.select("band", "bucket").distinct()
-
-    // candidate generation only inside touched buckets: existing members of
-    // touched buckets (left-semi: key-colocated probe, no payload) plus the
-    // batch's rows; the salted self-join bounds any hot bucket's fan-out
-    val affected = Dedup.trackPersist(
-      prev.banded.join(touched, Seq("band", "bucket"), "left_semi")
-        .unionByName(newBanded))
+    val (touched, affected) = touchedAffected(prev.banded, newBanded)
     val cand0 = Blocking.saltedSelfJoin(affected, Seq("band", "bucket"), "id",
         Seq.empty, maxBucket)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-
-    // keep pairs with ≥1 batch member: an old×old pair inside a touched
-    // bucket was already emitted by the batch that brought its later doc
-    // (pairs are append-only — see class doc). Two skinny equi-joins, no
-    // driver work.
-    val cand = cand0
-      .join(newSets.select(col("id").as("id_a"), lit(1).as("__new_a")), Seq("id_a"), "left")
-      .join(newSets.select(col("id").as("id_b"), lit(1).as("__new_b")), Seq("id_b"), "left")
-      .filter(col("__new_a").isNotNull || col("__new_b").isNotNull)
+    val cand = keepPairsWithNewMember(cand0, newSets.select("id"))
       .select("id_a", "id_b")
 
     val allSets = prev.sets.unionByName(newSets)
@@ -122,12 +116,125 @@ object IncrementalDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
 
-    // bookkeeping counts folded into ONE action (the IncrementalLinkage
-    // cross-join pattern); this also materializes `fresh`'s persist
-    val stats = touched.agg(count(lit(1)).as("tb"))
-      .crossJoin(fresh.agg(count(lit(1)).as("np"))).head()
+    val (tb, np) = stats(touched, fresh)
+    Delta(newSets, newBanded, fresh, tb, np)
+  }
 
-    Delta(newSets, newBanded, fresh, stats.getLong(0), stats.getLong(1))
+  // --------------- the touched-bucket core, shared by all families ---------
+
+  /** Buckets the batch touches (no other bucket can produce a new pair) and
+    * the candidate-generation relation: existing members of touched buckets
+    * (left-semi: key-colocated probe, no payload re-shuffle) plus the batch's
+    * own rows. `affected` is persisted — it feeds the salted join's hot
+    * probe and both join branches. */
+  private def touchedAffected(prevBanded: DataFrame,
+                              newBanded: DataFrame): (DataFrame, DataFrame) = {
+    val touched = newBanded.select("band", "bucket").distinct()
+    val affected = Dedup.trackPersist(
+      prevBanded.join(touched, Seq("band", "bucket"), "left_semi")
+        .unionByName(newBanded))
+    (touched, affected)
+  }
+
+  /** Keep pairs with ≥1 batch member: an old×old pair inside a touched
+    * bucket was already emitted by the batch that brought its later doc
+    * (state is append-only — see class doc). Two skinny equi-joins, no
+    * driver work. Non-pair columns pass through. */
+  private def keepPairsWithNewMember(cand: DataFrame, newIds: DataFrame): DataFrame =
+    cand
+      .join(newIds.select(col("id").as("id_a"), lit(1).as("__new_a")), Seq("id_a"), "left")
+      .join(newIds.select(col("id").as("id_b"), lit(1).as("__new_b")), Seq("id_b"), "left")
+      .filter(col("__new_a").isNotNull || col("__new_b").isNotNull)
+      .drop("__new_a", "__new_b")
+
+  /** Bookkeeping counts folded into ONE action (the IncrementalLinkage
+    * cross-join pattern); also materializes `fresh`'s persist. */
+  private def stats(touched: DataFrame, fresh: DataFrame): (Long, Long) = {
+    val r = touched.agg(count(lit(1)).as("tb"))
+      .crossJoin(fresh.agg(count(lit(1)).as("np"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  // ----------------------------- SimHash family ----------------------------
+
+  /** Incremental SimHash state. The per-doc verification payload (the 8-byte
+    * signature) rides inside the band rows, so unlike MinHash there is no
+    * separate per-doc frame: `banded` (id, sim, band, bucket) IS the whole
+    * non-pair state. */
+  case class SimhashState(banded: DataFrame, pairs: DataFrame)
+  case class SimhashStep(state: SimhashState, touchedBuckets: Long, pairsAdded: Long)
+
+  def simhashEmpty(like: DataFrame, idCol: String, textCol: String): SimhashState = {
+    val banded = Dedup.simhashBanded(like.limit(0), idCol, textCol)
+    SimhashState(banded,
+      like.limit(0).select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0).cast("int").as("hamming")).limit(0))
+  }
+
+  /** One SimHash increment: candidates only inside buckets the batch touches,
+    * Hamming verification from the signatures riding the band rows, pairs
+    * appended exactly once (by the batch bringing the later member).
+    * Accumulated `pairs` equal [[Dedup.simhashPairs]] on the full corpus
+    * (IncrementalDedupSpec) — banding and verification use the same shared
+    * expressions ([[Dedup.simhashBanded]]/[[Dedup.simhashPairsFromBanded]]).
+    * Precondition: batches carry disjoint ids (append-only corpus). */
+  def simhashStep(prev: SimhashState, batch: DataFrame, idCol: String,
+                  textCol: String, maxHamming: Int = 3,
+                  maxBucket: Int = 1000): SimhashStep = {
+    val newBanded = Dedup.trackPersist(Dedup.simhashBanded(batch, idCol, textCol))
+    val (touched, affected) = touchedAffected(prev.banded, newBanded)
+    // verification is a per-row popcount — cheap enough to run BEFORE the
+    // new-member filter (no vectors/sets to re-attach, unlike the other two)
+    val fresh = Dedup.trackPersist(keepPairsWithNewMember(
+      Dedup.simhashPairsFromBanded(affected, maxHamming, maxBucket),
+      newBanded.select("id").distinct()))
+    val (tb, np) = stats(touched, fresh)
+    SimhashStep(SimhashState(prev.banded.unionByName(newBanded),
+      prev.pairs.unionByName(fresh)), tb, np)
+  }
+
+  // ---------------------------- embedding family ---------------------------
+
+  /** Incremental embedding-LSH state: `vecs` (id, vec) for exact-cosine
+    * verification, `banded` (id, band, bucket) for candidate generation,
+    * `pairs` (id_a, id_b, cos) append-only. */
+  case class EmbedState(vecs: DataFrame, banded: DataFrame, pairs: DataFrame)
+  case class EmbedStep(state: EmbedState, touchedBuckets: Long, pairsAdded: Long)
+
+  def embedEmpty(like: DataFrame, idCol: String, vecCol: String,
+                 planes: Int = 24, bands: Int = 4): EmbedState = {
+    val sigs = Dedup.embedSigs(like.limit(0), idCol, vecCol, planes)
+    EmbedState(sigs.select("id", "vec"),
+      Dedup.embedBanded(sigs, planes, bands),
+      sigs.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0d).as("cos")).limit(0))
+  }
+
+  /** One embedding-LSH increment: hyperplane signatures for the batch only,
+    * candidates only inside touched buckets, exact cosine against the
+    * accumulated vector state. Accumulated `pairs` equal
+    * [[Dedup.embeddingPairs]] on the full corpus (IncrementalDedupSpec) —
+    * signatures, banding, candidate join and verification all come from the
+    * shared expressions ([[Dedup.embedSigs]]/[[Dedup.embedBanded]]/
+    * [[Dedup.embedCandidates]]/[[Dedup.embedVerify]]).
+    * Precondition: batches carry disjoint ids (append-only corpus). */
+  def embedStep(prev: EmbedState, batch: DataFrame, idCol: String,
+                vecCol: String, planes: Int = 24, bands: Int = 4,
+                threshold: Double = 0.95, maxBucket: Int = 1000): EmbedStep = {
+    val newSigs = Dedup.trackPersist(Dedup.embedSigs(batch, idCol, vecCol, planes))
+    val newVecs = newSigs.select("id", "vec")
+    val newBanded = Dedup.trackPersist(Dedup.embedBanded(newSigs, planes, bands))
+    val (touched, affected) = touchedAffected(prev.banded, newBanded)
+    // filter to ≥1 new member BEFORE re-attaching vectors: old×old pairs in
+    // touched buckets never pay the cosine
+    val cand = keepPairsWithNewMember(
+      Dedup.embedCandidates(affected, maxBucket), newSigs.select("id"))
+    val fresh = Dedup.trackPersist(
+      Dedup.embedVerify(cand, prev.vecs.unionByName(newVecs), threshold))
+    val (tb, np) = stats(touched, fresh)
+    EmbedStep(EmbedState(prev.vecs.unionByName(newVecs),
+      prev.banded.unionByName(newBanded),
+      prev.pairs.unionByName(fresh)), tb, np)
   }
 
   // ------------------------- persisted state layout -------------------------

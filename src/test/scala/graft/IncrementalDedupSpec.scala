@@ -86,6 +86,56 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("3-batch incremental simhash state == full-corpus simhashPairs") {
+    val batches = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    var st = IncrementalDedup.simhashEmpty(docs, "doc_id", "text")
+    var added = 0L
+    batches.foreach { b =>
+      val s = IncrementalDedup.simhashStep(st, b, "doc_id", "text")
+      st = s.state
+      added += s.pairsAdded
+    }
+    val inc = st.pairs.persist()
+    val full = Dedup.simhashPairs(docs, "doc_id", "text").persist()
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "incremental simhash pairs diverged from full recompute")
+    assert(added == full.count(), s"pairsAdded sum $added != full ${full.count()}")
+    // planted cross-batch duplicates found at hamming 0
+    assert(inc.filter(col("id_b") >= 100000L && col("id_a") < 100000L &&
+      col("hamming") === 0).count() >= 12)
+    inc.unpersist(); full.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
+  test("3-batch incremental embed state == full-corpus embeddingPairs") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // planted identical vectors land in a different (%3) batch than their
+    // originals, so cross-batch pairing is exercised (natural corpus has no
+    // pair at cos >= 0.99 — the q_embed_dedup margin property)
+    val vecs = base.union(base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))).persist()
+    val batches = (0 to 2).map(r => vecs.filter(col("vec_id") % 3 === r))
+    var st = IncrementalDedup.embedEmpty(vecs, "vec_id", "embedding")
+    var added = 0L
+    batches.foreach { b =>
+      val s = IncrementalDedup.embedStep(st, b, "vec_id", "embedding",
+        threshold = 0.99)
+      st = s.state
+      added += s.pairsAdded
+    }
+    val inc = st.pairs.persist()
+    val full = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99).persist()
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "incremental embed pairs diverged from full recompute")
+    assert(added == full.count(), s"pairsAdded sum $added != full ${full.count()}")
+    assert(inc.filter(col("id_b") >= 1000000L && col("id_a") < 1000000L).count() >= 20)
+    vecs.unpersist()
+    inc.unpersist(); full.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
   test("a small batch touches few buckets and re-pairs only those") {
     // batches 1+2 = the accumulated corpus; batch 3 = 4 fresh planted docs
     val first = docs.filter(col("doc_id") < 100000L)
