@@ -564,8 +564,18 @@ object NerOutputs {
       // ("emecik datca mugla"): extending would swallow the neighbourhood
       // the 3.5 rule claims next
       if (k >= 0 && nameLike(tokens(k)) && !covered(k) &&
-          !NerOutputs.NotNbhd(tokens(k)))
-        out += (("ILCE", k, k + 1))
+          !NerOutputs.NotNbhd(tokens(k))) {
+        // split-typo fuse: when the CONCATENATION of this token and the one
+        // before it is a real-table district name ("sefe rihisar" →
+        // seferihisar, "k arsiyaka" → karsiyaka), the district was typed
+        // with a stray space — gold tags both tokens; exact closed-class
+        // concatenation match keeps this safe
+        val fused = aux.exists { ax =>
+          k > 0 && nameLike(tokens(k - 1)) && !covered(k - 1) &&
+            ax.distToNbhdUnion.contains(tokens(k - 1) + tokens(k))
+        }
+        out += (("ILCE", if (fused) k - 1 else k, k + 1))
+      }
     }
     out.collect { case ("IL", _, e) => e }.foreach { e0 =>
       if (e0 < T && tokens(e0) == "/" && e0 + 1 < T && nameLike(tokens(e0 + 1)) &&
@@ -592,21 +602,42 @@ object NerOutputs {
     // ("turgutreis - bodrum"). Claimed only when name-like and uncovered;
     // extends over ONE more name token ("mustafa kemal buca"), guarded
     // against stutter typos ("mavis mavisehir" claims only "mavisehir").
-    out.collect { case ("ILCE", s, _) => s }.foreach { s0 =>
+    out.toSeq.collect { case ("ILCE", s, e) => (s, e) }.foreach { case (s0, e0) =>
       var k = s0 - 1
       if (k >= 0 && (tokens(k) == "/" || tokens(k) == "-")) k -= 1
       if (k >= 0 && nameLike(tokens(k)) && !covered(k) &&
           !NerOutputs.NotNbhd(tokens(k))) {
         var j = k
-        // extend over ONE more name token, only when that makes the COMPLETE
-        // uncovered name run ("6 mustafa kemal buca" → "mustafa kemal") —
-        // a longer run is a business/organization name whose tail is not a
-        // neighbourhood ("proje ofisi muradiye" → just "muradiye"); stutter
-        // typos never join ("mavis mavisehir" claims only "mavisehir")
-        if (j > 0 && nameLike(tokens(j - 1)) && !covered(j - 1) &&
-            !tokens(j).startsWith(tokens(j - 1)) &&
-            (j - 1 == 0 || !nameLike(tokens(j - 2))))
-          j -= 1
+        // closed-class longest-name extension first: walk left up to 2 more
+        // tokens and keep the LONGEST run the real table confirms as a
+        // neighbourhood of THIS district ("ziebart yunus emre karabaglar" →
+        // "yunus emre"; "gazi mustafa kemal menemen" → the full 3-token
+        // name). The hierarchy gate is what makes a multi-token walk safe
+        // here — an unconfirmed longer run is a business name whose tail is
+        // the neighbourhood, exactly as before.
+        val confirmed = aux.flatMap { ax =>
+          val allowed = ax.distToNbhdUnion
+            .getOrElse(tokens.slice(s0, e0).mkString(" "), Set.empty[String])
+          (2 to 0 by -1).collectFirst {
+            case back if k - back >= 0 &&
+              (k - back to k).forall(t => nameLike(tokens(t)) && !covered(t)) &&
+              allowed(tokens.slice(k - back, k + 1).mkString(" ")) => k - back
+          }
+        }
+        confirmed match {
+          case Some(j2) => j = j2
+          case None =>
+            // extend over ONE more name token, only when that makes the
+            // COMPLETE uncovered name run ("6 mustafa kemal buca" →
+            // "mustafa kemal") — a longer run is a business/organization
+            // name whose tail is not a neighbourhood ("proje ofisi
+            // muradiye" → just "muradiye"); stutter typos never join
+            // ("mavis mavisehir" claims only "mavisehir")
+            if (j > 0 && nameLike(tokens(j - 1)) && !covered(j - 1) &&
+                !tokens(j).startsWith(tokens(j - 1)) &&
+                (j - 1 == 0 || !nameLike(tokens(j - 2))))
+              j -= 1
+        }
         out += (("MAHALLE", j, k + 1))
       }
     }
@@ -656,6 +687,27 @@ object NerOutputs {
             ax.provToDistricts.getOrElse(ilName, Set.empty[String])(tokens(k))) {
           lateIlce += out.length
           out += (("ILCE", k, k + 1))
+        }
+      }
+    }
+
+    // --- 3.7 a claimed ILCE the real table does NOT know as a district
+    // ("yalikavak" — a belde the gold corpora tag ILCE sentence-finally but
+    // fold into the neighbourhood span elsewhere) that sits immediately
+    // before a MAHALLE span is that span's leading name: gold tags
+    // "yalikavak dirmil mah" / "yalikavak geris mahallesi" as ONE MAHALLE.
+    // Real districts never merge — the closed-class gate keeps the top-down
+    // "manisa alasehir fatih mah" ILCE intact.
+    aux.foreach { ax =>
+      val mahByStart = out.toSeq.collect { case ("MAHALLE", s, e) => (s, e) }.toMap
+      out.zipWithIndex.toSeq.foreach { case ((t, s, e), oi) =>
+        if (t == "ILCE" &&
+            !ax.distToNbhdUnion.contains(tokens.slice(s, e).mkString(" ")) &&
+            mahByStart.contains(e)) {
+          val me = mahByStart(e)
+          out(oi) = (("MAHALLE", s, me))
+          val mi = out.indexOf(("MAHALLE", e, me))
+          if (mi >= 0) out.remove(mi)
         }
       }
     }
