@@ -11,6 +11,7 @@ package graft
 object GoldDump {
   def main(args: Array[String]): Unit = {
     if (args.length >= 2 && args(0) == "miss") { missReport(args(1)); return }
+    if (args.length >= 2 && args(0) == "sent") { sentReport(args.drop(1).mkString(" ")); return }
     val spark = Sessions.local("graft-golddump", "8")
     graft.operators.GoldEval.evaluate(spark).orderBy("entity_type")
       .collect().foreach(r => println("GOLDPRF " + r.mkString(" | ")))
@@ -45,5 +46,31 @@ object GoldDump {
       }
     }
     println(s"SUMMARY $tpe tp=$tp fn=$fn fp=$fp")
+  }
+
+  /** Full pred-vs-gold span listing for sentences whose canonical text
+    * contains `needle` — the single-sentence drill-down behind a `miss`
+    * line. */
+  private def sentReport(needle: String): Unit = {
+    import graft.operators.{GoldEval, NerOutputs}
+    import graft.sources.Gazetteer
+    val byCorpus = GoldEval.DefaultPaths.zipWithIndex
+      .map { case (p, i) => (p, GoldEval.readGold(p, i)) }
+    byCorpus.foreach { case (path, sents) =>
+      val (rows, anchors) = GoldEval.minedFor(byCorpus, path)
+      val idx = Gazetteer.buildIndex(rows)
+      sents.foreach { case (sid, toks, tags) =>
+        val canon = toks.map(GoldEval.canonToken)
+        if (canon.mkString(" ").contains(needle)) {
+          println(s"SENT $sid: ${canon.mkString(" ")}")
+          val pred = NerOutputs.spans(canon, idx, tarifAnchors = anchors,
+            aux = GoldEval.realIndex)
+          GoldEval.tagsToSpans(tags).sortBy(_._2).foreach { case (t, s, e) =>
+            println(s"  GOLD $t [${canon.slice(s, e).mkString(" ")}]") }
+          pred.sortBy(_._2).foreach { case (t, s, e) =>
+            println(s"  PRED $t [${canon.slice(s, e).mkString(" ")}]") }
+        }
+      }
+    }
   }
 }

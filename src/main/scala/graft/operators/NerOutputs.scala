@@ -75,7 +75,7 @@ object NerOutputs {
       // department, directorate, bank, clinic) — an address ending
       // "<org-noun> <district>" names a business, not a neighbourhood
       "birimi", "grubu", "amirligi", "poliklinigi", "bankasi", "ofisi",
-      "bolumu", "mudurlugu", "sti", "ltd")
+      "bolumu", "mudurlugu", "sti", "ltd", "dairesi")
 
   /** Turkish word numbers one..five — floors and flats are occasionally
     * written out ("kat bir", "daire bir"). */
@@ -718,23 +718,29 @@ object NerOutputs {
     // or a positional-ILCE span the real table knows). No unrestricted
     // fallback: 50k real names matching any stray token would be FP fuel.
     def auxProbe: Option[(String, Int, Int)] = aux.flatMap { ax =>
-      val distName = dist.map(_._1).orElse(
-        out.zipWithIndex.collect {
+      // every recognized district is a candidate context, probed in span
+      // order until one yields a hit — a sentence can carry a spurious
+      // district homonym BEFORE the real one ("adnan menderes efeler
+      // aydin": İzmir's menderes is typed ILCE but has no matching
+      // neighbourhood; efeler does)
+      val distNames = (dist.map(_._1).toSeq ++
+        out.zipWithIndex.toSeq.collect {
           case (("ILCE", s, e), oi) if !lateIlce(oi) =>
             tokens.slice(s, e).mkString(" ")
-        }.find(ax.distToNbhdUnion.contains))
-      distName.flatMap { d =>
+        }).distinct.filter(ax.distToNbhdUnion.contains)
+      distNames.iterator.map { d =>
         val p2 = prov.map(_._1).orElse(ax.distToFirstProv.get(d))
         val allowed = p2.flatMap(p => ax.pairToNbhds.get((p, d)))
           .getOrElse(ax.distToNbhdUnion.getOrElse(d, Set.empty[String]))
         StaticParser.bestMatch(tokens, ax.nbhdIndex, Some(allowed))
-      }
+      }.collectFirst { case Some(h) => h }
     }
     // gold tags EVERY mention, so the (restricted) probe hit is projected
     // onto all its occurrences; overlap with existing spans is checked per
     // occurrence. The MINED probe still fires only in MAHALLE-less
     // sentences (its unrestricted fallback over-fires in prose); the aux
     // probe's hierarchy restriction makes it safe alongside keyword spans.
+    val auxHit = auxProbe
     val probeHit: Option[(String, Int, Int)] =
       if (!out.exists(_._1 == "MAHALLE")) {
         val provName = prov.map(_._1).orElse(dist.flatMap(d => idx.distToFirstProv.get(d._1)))
@@ -748,17 +754,30 @@ object NerOutputs {
         // (hierarchy-restricted — strictly more trustworthy than an
         // unrestricted guess), then the mined unrestricted fallback
         StaticParser.bestMatch(tokens, idx.nbhdIndex, allowedN)
-          .orElse(auxProbe)
+          .orElse(auxHit)
           .orElse(if (allowedN.isDefined)
             StaticParser.bestMatch(tokens, idx.nbhdIndex, None) else None)
-      } else auxProbe
+      } else auxHit
     probeHit.foreach { case (n, _, _) =>
+      val auxConfirmed = auxHit.exists(_._1 == n)
       occurrences(n).foreach { case (s, e) =>
         // gold annotation convention (goldset_1k_yegeb.conll): the keyword
         // token belongs to the span — extend over a following canonical "mah"
         val e2 = if (e < T && tokens(e) == "mah") e + 1 else e
-        if (!out.exists { case (_, s2, e2b) => s < e2b && s2 < e2 })
+        val overlapped = out.zipWithIndex.toSeq.filter {
+          case ((_, s2, e2b), _) => s < e2b && s2 < e2 }
+        if (overlapped.isEmpty) out += (("MAHALLE", s, e2))
+        else if (auxConfirmed && overlapped.forall { case ((t2, s2, e2b), _) =>
+            (t2 == "ILCE" || t2 == "IL") && s2 >= s && e2b <= e2 &&
+              (e2b - s2) < (e2 - s) }) {
+          // the real table confirms the LONGER name as this district's
+          // neighbourhood, and every claim in the way is an admin span
+          // strictly inside it — a district name embedded in a longer
+          // neighbourhood name ("adnan menderes" ⊃ İzmir's "menderes"):
+          // the closed-class containment wins
+          overlapped.map(_._2).sortBy(i => -i).foreach(out.remove)
           out += (("MAHALLE", s, e2))
+        }
       }
     }
     if (out.forall(bare)) out.clear() // bare markers need address context
