@@ -145,7 +145,10 @@ object IncrementalDedup {
       .join(newIds.select(col("id").as("id_a"), lit(1).as("__new_a")), Seq("id_a"), "left")
       .join(newIds.select(col("id").as("id_b"), lit(1).as("__new_b")), Seq("id_b"), "left")
       .filter(col("__new_a").isNotNull || col("__new_b").isNotNull)
-      .drop("__new_a", "__new_b")
+      // restore the input's column ORDER (a join key moves to first
+      // position): persisted deltas are read back positionally by except()
+      // and the families' empty-state schemas
+      .select(cand.columns.map(col).toIndexedSeq: _*)
 
   /** Bookkeeping counts folded into ONE action (the IncrementalLinkage
     * cross-join pattern); also materializes `fresh`'s persist. */
@@ -171,6 +174,9 @@ object IncrementalDedup {
         lit(0).cast("int").as("hamming")).limit(0))
   }
 
+  case class SimhashDelta(banded: DataFrame, pairs: DataFrame,
+                          touchedBuckets: Long, pairsAdded: Long)
+
   /** One SimHash increment: candidates only inside buckets the batch touches,
     * Hamming verification from the signatures riding the band rows, pairs
     * appended exactly once (by the batch bringing the later member).
@@ -181,6 +187,16 @@ object IncrementalDedup {
   def simhashStep(prev: SimhashState, batch: DataFrame, idCol: String,
                   textCol: String, maxHamming: Int = 3,
                   maxBucket: Int = 1000): SimhashStep = {
+    val d = simhashDelta(prev, batch, idCol, textCol, maxHamming, maxBucket)
+    SimhashStep(SimhashState(prev.banded.unionByName(d.banded),
+      prev.pairs.unionByName(d.pairs)), d.touchedBuckets, d.pairsAdded)
+  }
+
+  /** The SimHash batch increment against accumulated state (see
+    * [[simhashStep]]). */
+  def simhashDelta(prev: SimhashState, batch: DataFrame, idCol: String,
+                   textCol: String, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): SimhashDelta = {
     val newBanded = Dedup.trackPersist(Dedup.simhashBanded(batch, idCol, textCol))
     val (touched, affected) = touchedAffected(prev.banded, newBanded)
     // verification is a per-row popcount — cheap enough to run BEFORE the
@@ -189,8 +205,7 @@ object IncrementalDedup {
       Dedup.simhashPairsFromBanded(affected, maxHamming, maxBucket),
       newBanded.select("id").distinct()))
     val (tb, np) = stats(touched, fresh)
-    SimhashStep(SimhashState(prev.banded.unionByName(newBanded),
-      prev.pairs.unionByName(fresh)), tb, np)
+    SimhashDelta(newBanded, fresh, tb, np)
   }
 
   // ---------------------------- embedding family ---------------------------
@@ -210,6 +225,9 @@ object IncrementalDedup {
         lit(0.0d).as("cos")).limit(0))
   }
 
+  case class EmbedDelta(vecs: DataFrame, banded: DataFrame, pairs: DataFrame,
+                        touchedBuckets: Long, pairsAdded: Long)
+
   /** One embedding-LSH increment: hyperplane signatures for the batch only,
     * candidates only inside touched buckets, exact cosine against the
     * accumulated vector state. Accumulated `pairs` equal
@@ -221,6 +239,17 @@ object IncrementalDedup {
   def embedStep(prev: EmbedState, batch: DataFrame, idCol: String,
                 vecCol: String, planes: Int = 24, bands: Int = 4,
                 threshold: Double = 0.95, maxBucket: Int = 1000): EmbedStep = {
+    val d = embedDelta(prev, batch, idCol, vecCol, planes, bands, threshold, maxBucket)
+    EmbedStep(EmbedState(prev.vecs.unionByName(d.vecs),
+      prev.banded.unionByName(d.banded),
+      prev.pairs.unionByName(d.pairs)), d.touchedBuckets, d.pairsAdded)
+  }
+
+  /** The embedding batch increment against accumulated state (see
+    * [[embedStep]]). */
+  def embedDelta(prev: EmbedState, batch: DataFrame, idCol: String,
+                 vecCol: String, planes: Int = 24, bands: Int = 4,
+                 threshold: Double = 0.95, maxBucket: Int = 1000): EmbedDelta = {
     val newSigs = Dedup.trackPersist(Dedup.embedSigs(batch, idCol, vecCol, planes))
     val newVecs = newSigs.select("id", "vec")
     val newBanded = Dedup.trackPersist(Dedup.embedBanded(newSigs, planes, bands))
@@ -232,9 +261,7 @@ object IncrementalDedup {
     val fresh = Dedup.trackPersist(
       Dedup.embedVerify(cand, prev.vecs.unionByName(newVecs), threshold))
     val (tb, np) = stats(touched, fresh)
-    EmbedStep(EmbedState(prev.vecs.unionByName(newVecs),
-      prev.banded.unionByName(newBanded),
-      prev.pairs.unionByName(fresh)), tb, np)
+    EmbedDelta(newVecs, newBanded, fresh, tb, np)
   }
 
   // ------------------------- persisted state layout -------------------------
@@ -249,39 +276,75 @@ object IncrementalDedup {
   // the start of the next batch, never in the batch that wrote the marker
   // (foreachBatch re-delivers a batch whose commit crashed).
 
+  /** The MinHash layout's delta prefixes (the other families reuse the same
+    * engine with their own frame roles — see [[SimhashPrefixes]]/
+    * [[EmbedPrefixes]]). */
+  private val MinhashPrefixes = Seq("sets_delta_", "banded_delta_", "pairs_delta_")
+  private val SimhashPrefixes = Seq("banded_delta_", "pairs_delta_")
+  private val EmbedPrefixes = Seq("vecs_delta_", "banded_delta_", "pairs_delta_")
+
   def committedBatches(stateDir: String): Seq[Long] =
+    committedBatches(stateDir, MinhashPrefixes)
+
+  private def committedBatches(stateDir: String, prefixes: Seq[String]): Seq[Long] =
     StateFs.listNames(stateDir)
-      .flatMap(n => StateFs.numericSuffix(n, "sets_delta_"))
-      .filter(b => Seq("sets_delta_", "banded_delta_", "pairs_delta_")
-        .forall(p => StateFs.exists(stateDir, s"$p$b/_SUCCESS")))
+      .flatMap(n => StateFs.numericSuffix(n, prefixes.head))
+      .filter(b => prefixes.forall(p => StateFs.exists(stateDir, s"$p$b/_SUCCESS")))
       .distinct.sorted
 
   def compactions(stateDir: String): Seq[Long] =
     StateFs.listNames(stateDir)
       .flatMap(n => StateFs.numericSuffix(n, "compacted_")).sorted
 
-  private def liveBatches(stateDir: String, beforeBatch: Long): Seq[Long] = {
-    val committed = committedBatches(stateDir).filter(_ < beforeBatch)
+  private def liveBatches(stateDir: String, beforeBatch: Long,
+                          prefixes: Seq[String]): Seq[Long] = {
+    val committed = committedBatches(stateDir, prefixes).filter(_ < beforeBatch)
     compactions(stateDir).filter(_ < beforeBatch).lastOption match {
       case Some(base) => committed.filter(_ >= base)
       case None       => committed
     }
   }
 
-  private def gcSuperseded(stateDir: String, currentBatch: Long): Unit =
+  private def gcSuperseded(stateDir: String, currentBatch: Long,
+                           prefixes: Seq[String]): Unit =
     compactions(stateDir).filter(_ < currentBatch).lastOption.foreach { base =>
-      committedBatches(stateDir).filter(_ < base).foreach { b =>
-        Seq("sets_delta_", "banded_delta_", "pairs_delta_")
-          .foreach(p => StateFs.deleteRecursive(stateDir, s"$p$b"))
+      committedBatches(stateDir, prefixes).filter(_ < base).foreach { b =>
+        prefixes.foreach(p => StateFs.deleteRecursive(stateDir, s"$p$b"))
       }
     }
+
+  /** One persisted-delta foreachBatch body, generic over the family's frame
+    * roles: GC superseded deltas, rebuild prior state by union of live
+    * deltas, compute this batch's delta frames, write them (folded with the
+    * prior state on a compaction batch — append-only state compacts by
+    * plain union), publish the compaction marker LAST. */
+  private def persistStep(spark: SparkSession, stateDir: String, batchId: Long,
+                          prefixes: Seq[String], compactEvery: Int,
+                          empties: => Seq[DataFrame],
+                          deltaOf: Seq[DataFrame] => Seq[DataFrame]): Unit = {
+    gcSuperseded(stateDir, batchId, prefixes)
+    val live = liveBatches(stateDir, batchId, prefixes)
+    val prev: Seq[DataFrame] =
+      if (live.isEmpty) empties
+      else prefixes.map(p => live.map(b => spark.read.parquet(s"$stateDir/$p$b"))
+        .reduce(_ unionByName _))
+    val d = deltaOf(prev)
+    val base = compactions(stateDir).filter(_ < batchId).lastOption
+    val doCompact = compactEvery > 0 &&
+      live.count(b => !base.contains(b)) + 1 >= compactEvery
+    prefixes.zip(d).zip(prev).foreach { case ((p, df), pv) =>
+      val outDf = if (doCompact) pv.unionByName(df) else df
+      outDf.write.mode("overwrite").parquet(s"$stateDir/$p$batchId")
+    }
+    if (doCompact) StateFs.publish(stateDir, s"compacted_$batchId", Array.empty[Byte])
+  }
 
   /** Accumulated state before `beforeBatch`, reconstructed by plain union of
     * the live committed deltas (empty-state schemas when none exist). */
   def loadState(spark: SparkSession, stateDir: String, beforeBatch: Long,
                 idCol: String, textCol: String,
                 shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): State = {
-    val live = liveBatches(stateDir, beforeBatch)
+    val live = liveBatches(stateDir, beforeBatch, MinhashPrefixes)
     if (live.isEmpty)
       empty(emptyDocs(spark, idCol, textCol), idCol, textCol,
         shingleN, numHashes, bands)
@@ -293,11 +356,46 @@ object IncrementalDedup {
     }
   }
 
+  /** SimHash twin of [[loadState]] (banded + pairs roles only). */
+  def loadSimhashState(spark: SparkSession, stateDir: String, beforeBatch: Long,
+                       idCol: String, textCol: String): SimhashState = {
+    val live = liveBatches(stateDir, beforeBatch, SimhashPrefixes)
+    if (live.isEmpty) simhashEmpty(emptyDocs(spark, idCol, textCol), idCol, textCol)
+    else {
+      def union(prefix: String): DataFrame = live
+        .map(b => spark.read.parquet(s"$stateDir/$prefix$b"))
+        .reduce(_ unionByName _)
+      SimhashState(union("banded_delta_"), union("pairs_delta_"))
+    }
+  }
+
+  /** Embedding twin of [[loadState]] (vecs + banded + pairs roles). */
+  def loadEmbedState(spark: SparkSession, stateDir: String, beforeBatch: Long,
+                     idCol: String, vecCol: String,
+                     planes: Int = 24, bands: Int = 4): EmbedState = {
+    val live = liveBatches(stateDir, beforeBatch, EmbedPrefixes)
+    if (live.isEmpty)
+      embedEmpty(emptyVecs(spark, idCol, vecCol), idCol, vecCol, planes, bands)
+    else {
+      def union(prefix: String): DataFrame = live
+        .map(b => spark.read.parquet(s"$stateDir/$prefix$b"))
+        .reduce(_ unionByName _)
+      EmbedState(union("vecs_delta_"), union("banded_delta_"), union("pairs_delta_"))
+    }
+  }
+
   private def emptyDocs(spark: SparkSession, idCol: String, textCol: String): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(textCol, org.apache.spark.sql.types.StringType))))
+
+  private def emptyVecs(spark: SparkSession, idCol: String, vecCol: String): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(vecCol,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
 
   /** Streaming driver: file-source document stream → foreachBatch
     * incremental delta (the [[IncrementalLinkage.run]] shape for dedup
@@ -312,30 +410,75 @@ object IncrementalDedup {
     StreamingIngest.readDocs(spark, inDir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
-        gcSuperseded(stateDir, batchId)
-        val prev = loadState(sp, stateDir, batchId, idCol, textCol,
-          shingleN, numHashes, bands)
-        val d = delta(prev, batch.toDF().select(idCol, textCol), idCol, textCol,
-          shingleN, numHashes, bands, threshold, maxBucket)
-        val live = liveBatches(stateDir, batchId)
-        val base = compactions(stateDir).filter(_ < batchId).lastOption
-        val doCompact = compactEvery > 0 &&
-          live.count(b => !base.contains(b)) + 1 >= compactEvery
-        if (!doCompact) {
-          d.sets.write.mode("overwrite").parquet(s"$stateDir/sets_delta_$batchId")
-          d.banded.write.mode("overwrite").parquet(s"$stateDir/banded_delta_$batchId")
-          d.pairs.write.mode("overwrite").parquet(s"$stateDir/pairs_delta_$batchId")
-        } else {
-          // compaction batch: this delta IS the full state (plain union —
-          // append-only state has no supersede cases)
-          prev.sets.unionByName(d.sets).write.mode("overwrite")
-            .parquet(s"$stateDir/sets_delta_$batchId")
-          prev.banded.unionByName(d.banded).write.mode("overwrite")
-            .parquet(s"$stateDir/banded_delta_$batchId")
-          prev.pairs.unionByName(d.pairs).write.mode("overwrite")
-            .parquet(s"$stateDir/pairs_delta_$batchId")
-          StateFs.publish(stateDir, s"compacted_$batchId", Array.empty[Byte])
-        }
+        persistStep(sp, stateDir, batchId, MinhashPrefixes, compactEvery,
+          empties = {
+            val e = empty(emptyDocs(sp, idCol, textCol), idCol, textCol,
+              shingleN, numHashes, bands)
+            Seq(e.sets, e.banded, e.pairs)
+          },
+          deltaOf = { case Seq(sets, banded, pairs) =>
+            val d = delta(State(sets, banded, pairs),
+              batch.toDF().select(idCol, textCol), idCol, textCol,
+              shingleN, numHashes, bands, threshold, maxBucket)
+            Seq(d.sets, d.banded, d.pairs)
+          })
+        graft.operators.Dedup.releaseCaches(sp)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** SimHash streaming driver — the [[run]] shape over the two-role SimHash
+    * state (signatures ride the band rows, so there is no sets frame). */
+  def simhashRun(spark: SparkSession, inDir: String, stateDir: String,
+                 checkpoint: String, idCol: String = "doc_id",
+                 textCol: String = "text", maxHamming: Int = 3,
+                 maxBucket: Int = 1000,
+                 compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingIngest.readDocs(spark, inDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        persistStep(sp, stateDir, batchId, SimhashPrefixes, compactEvery,
+          empties = {
+            val e = simhashEmpty(emptyDocs(sp, idCol, textCol), idCol, textCol)
+            Seq(e.banded, e.pairs)
+          },
+          deltaOf = { case Seq(banded, pairs) =>
+            val d = simhashDelta(SimhashState(banded, pairs),
+              batch.toDF().select(idCol, textCol), idCol, textCol,
+              maxHamming, maxBucket)
+            Seq(d.banded, d.pairs)
+          })
+        graft.operators.Dedup.releaseCaches(sp)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Embedding streaming driver — the [[run]] shape over (id, vector)
+    * streams (vecs + banded + pairs roles). */
+  def embedRun(spark: SparkSession, inDir: String, stateDir: String,
+               checkpoint: String, idCol: String = "vec_id",
+               vecCol: String = "embedding", planes: Int = 24, bands: Int = 4,
+               threshold: Double = 0.95, maxBucket: Int = 1000,
+               compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingIngest.readVecs(spark, inDir, idCol, vecCol).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        persistStep(sp, stateDir, batchId, EmbedPrefixes, compactEvery,
+          empties = {
+            val e = embedEmpty(emptyVecs(sp, idCol, vecCol), idCol, vecCol,
+              planes, bands)
+            Seq(e.vecs, e.banded, e.pairs)
+          },
+          deltaOf = { case Seq(vecs, banded, pairs) =>
+            val d = embedDelta(EmbedState(vecs, banded, pairs),
+              batch.toDF().select(idCol, vecCol), idCol, vecCol,
+              planes, bands, threshold, maxBucket)
+            Seq(d.vecs, d.banded, d.pairs)
+          })
         graft.operators.Dedup.releaseCaches(sp)
         ()
       }

@@ -43,6 +43,14 @@ object StreamingIngest {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
 
+  /** File-source stream of (id, float-vector) rows — the embedding-dedup
+    * ingest shape ([[IncrementalDedup.embedRun]]). */
+  def readVecs(spark: SparkSession, dir: String,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    spark.readStream.schema(StructType(Seq(
+      StructField(idCol, LongType),
+      StructField(vecCol, ArrayType(FloatType))))).parquet(dir)
+
   /** Stateless per-batch transform: extract → normalize → block key
     * (the streaming twin of [[Linkage.prepare]]). */
   def prepared(pages: DataFrame, cfg: Linkage.Config = Linkage.Config()): DataFrame =

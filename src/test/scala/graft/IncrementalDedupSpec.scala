@@ -136,6 +136,61 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("simhash/embed streaming drives: persisted deltas + restart == full recompute") {
+    val root = java.nio.file.Files.createTempDirectory("inc_fam_stream").toString
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def writeBatch(dir: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+
+    // --- simhash driver: run 1 (two files), restart with a third (compacts)
+    val sIn = s"$root/s_in"; val sState = s"$root/s_state"; val sCkpt = s"$root/s_ckpt"
+    (0 to 1).foreach(r => writeBatch(sIn, all.filter(col("doc_id") % 3 === r), s"d$r"))
+    IncrementalDedup.simhashRun(spark, sIn, sState, sCkpt, compactEvery = 2)
+      .awaitTermination()
+    writeBatch(sIn, all.filter(col("doc_id") % 3 === 2), "d2")
+    IncrementalDedup.simhashRun(spark, sIn, sState, sCkpt, compactEvery = 2)
+      .awaitTermination()
+    val sState2 = IncrementalDedup.loadSimhashState(spark, sState, Long.MaxValue,
+      "doc_id", "text")
+    val sFull = Dedup.simhashPairs(all, "doc_id", "text").persist()
+    val sInc = sState2.pairs.persist()
+    assert(sInc.except(sFull).count() == 0 && sFull.except(sInc).count() == 0,
+      "persisted simhash streaming state diverged from full recompute")
+    assert(sState2.banded.select("id").distinct().count() == all.count())
+    assert(IncrementalDedup.compactions(sState).nonEmpty, "no simhash compaction")
+    sInc.unpersist(); sFull.unpersist()
+
+    // --- embed driver over the embeddings stream (planted duplicates)
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vecs = base.union(base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))).persist()
+    val eIn = s"$root/e_in"; val eState = s"$root/e_state"; val eCkpt = s"$root/e_ckpt"
+    (0 to 1).foreach(r => writeBatch(eIn, vecs.filter(col("vec_id") % 3 === r), s"v$r"))
+    IncrementalDedup.embedRun(spark, eIn, eState, eCkpt, threshold = 0.99)
+      .awaitTermination()
+    writeBatch(eIn, vecs.filter(col("vec_id") % 3 === 2), "v2")
+    IncrementalDedup.embedRun(spark, eIn, eState, eCkpt, threshold = 0.99)
+      .awaitTermination()
+    val eState2 = IncrementalDedup.loadEmbedState(spark, eState, Long.MaxValue,
+      "vec_id", "embedding")
+    val eFull = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99).persist()
+    val eInc = eState2.pairs.persist()
+    assert(eInc.except(eFull).count() == 0 && eFull.except(eInc).count() == 0,
+      "persisted embed streaming state diverged from full recompute")
+    assert(eInc.count() >= 20, "planted duplicates not all found")
+    vecs.unpersist(); eInc.unpersist(); eFull.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
   test("a small batch touches few buckets and re-pairs only those") {
     // batches 1+2 = the accumulated corpus; batch 3 = 4 fresh planted docs
     val first = docs.filter(col("doc_id") < 100000L)
