@@ -167,6 +167,51 @@ class PlanSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("incremental dedup deltas inherit the banded-join plan properties") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import graft.streaming.IncrementalDedup
+    // the per-batch candidate join must keep the full operators' scale
+    // posture: no quadratic strategy, no set/vector payload through the
+    // banded shuffle — the untouched-bucket anti-work happens via a
+    // LEFT-SEMI key probe, which must also stay payload-free
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def check(df: DataFrame, payload: String): Unit = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val banded = joins.filter(_.condition.exists(_.references.exists(_.name == "bucket")))
+      assert(banded.nonEmpty, "no banded join in the incremental delta plan")
+      banded.foreach { j =>
+        val cols = (j.left.output ++ j.right.output).map(_.name)
+        assert(!cols.contains(payload),
+          s"'$payload' carried through an incremental banded join: $cols")
+      }
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+    val a = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val b = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+    val mh = IncrementalDedup.step(
+      IncrementalDedup.empty(docs, "doc_id", "text"), a, "doc_id", "text")
+    val mhd = IncrementalDedup.delta(mh.state, b, "doc_id", "text").pairs
+    val sh = IncrementalDedup.simhashStep(
+      IncrementalDedup.simhashEmpty(docs, "doc_id", "text"), a, "doc_id", "text")
+    val shd = IncrementalDedup.simhashDelta(sh.state, b, "doc_id", "text").pairs
+    val ea = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    val eb = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 =!= 0)
+    val em = IncrementalDedup.embedStep(
+      IncrementalDedup.embedEmpty(emb, "vec_id", "embedding"), ea, "vec_id", "embedding")
+    val emd = IncrementalDedup.embedDelta(em.state, eb, "vec_id", "embedding").pairs
+    // the delta frames are persisted by the operator, which would make the
+    // optimizer substitute InMemoryRelation and HIDE the join tree from the
+    // assertion — release the caches first (queryExecution is lazy; nothing
+    // has forced these frames' own plans yet), then inspect the real tree
+    Dedup.releaseCaches(spark)
+    check(mhd, "sh")
+    check(shd, "text")
+    check(emd, "vec")
+  }
+
   test("IVF cell assignment is a shuffle-free projection (no Exchange/Window)") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
