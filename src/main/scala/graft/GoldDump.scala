@@ -57,11 +57,15 @@ object GoldDump {
     val byCorpus = GoldEval.DefaultPaths.zipWithIndex
       .map { case (p, i) => (p, GoldEval.readGold(p, i)) }
     byCorpus.foreach { case (path, sents) =>
-      val (rows, anchors) = GoldEval.minedFor(byCorpus, path)
-      val idx = Gazetteer.buildIndex(rows)
-      sents.foreach { case (sid, toks, tags) =>
-        val canon = toks.map(GoldEval.canonToken)
-        if (canon.mkString(" ").contains(needle)) {
+      // filter FIRST: mining + index build are the expensive part and most
+      // corpora contain no match for a single-sentence drill-down
+      val hits = sents.filter { case (_, toks, _) =>
+        toks.map(GoldEval.canonToken).mkString(" ").contains(needle) }
+      if (hits.nonEmpty) {
+        val (rows, anchors) = GoldEval.minedFor(byCorpus, path)
+        val idx = Gazetteer.buildIndex(rows)
+        hits.foreach { case (sid, toks, tags) =>
+          val canon = toks.map(GoldEval.canonToken)
           println(s"SENT $sid: ${canon.mkString(" ")}")
           val pred = NerOutputs.spans(canon, idx, tarifAnchors = anchors,
             aux = GoldEval.realIndex)

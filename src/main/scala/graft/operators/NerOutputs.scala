@@ -69,6 +69,21 @@ object NerOutputs {
   /** Generic tokens that precede a district in business addresses but are
     * never a neighbourhood name (country, "center", "branch") — excluded
     * from the positional bare-MAHALLE/ILCE claims. */
+  /** The real-table district name an ILCE span denotes, if any: the
+    * space-joined surface form, or — for a span the 3.4 split-typo fuse
+    * claimed ("sefe rihisar") — the CONCATENATION the table actually holds
+    * ("seferihisar"). Every closed-class lookup keyed by a district span
+    * must go through this, or fused spans silently miss. */
+  private def realDistName(ax: graft.sources.Gazetteer.Index,
+                           tokens: Array[String], s: Int, e: Int): Option[String] = {
+    val spaced = tokens.slice(s, e).mkString(" ")
+    if (ax.distToNbhdUnion.contains(spaced)) Some(spaced)
+    else {
+      val fused = tokens.slice(s, e).mkString("")
+      if (e - s > 1 && ax.distToNbhdUnion.contains(fused)) Some(fused) else None
+    }
+  }
+
   private[operators] val NotNbhd: Set[String] =
     Set("turkiye", "merkez", "sube", "subesi",
       // closed-class organizational nouns (unit, group, office, branch,
@@ -616,8 +631,8 @@ object NerOutputs {
         // here — an unconfirmed longer run is a business name whose tail is
         // the neighbourhood, exactly as before.
         val confirmed = aux.flatMap { ax =>
-          val allowed = ax.distToNbhdUnion
-            .getOrElse(tokens.slice(s0, e0).mkString(" "), Set.empty[String])
+          val allowed = realDistName(ax, tokens, s0, e0)
+            .flatMap(ax.distToNbhdUnion.get).getOrElse(Set.empty[String])
           (2 to 0 by -1).collectFirst {
             case back if k - back >= 0 &&
               (k - back to k).forall(t => nameLike(tokens(t)) && !covered(t)) &&
@@ -660,9 +675,10 @@ object NerOutputs {
         val adjacent = gap.isEmpty ||
           (gap.length == 1 && (gap(0) == "/" || gap(0) == "-"))
         val xName = tokens.slice(sx, ex).mkString(" ")
-        val dName = tokens.slice(sd, ed).mkString(" ")
-        if (adjacent && td == "ILCE" && xName != dName &&
-            ax.distToNbhdUnion.getOrElse(dName, Set.empty[String])(xName))
+        val dNbhds = realDistName(ax, tokens, sd, ed)
+          .flatMap(ax.distToNbhdUnion.get).getOrElse(Set.empty[String])
+        if (adjacent && td == "ILCE" &&
+            xName != tokens.slice(sd, ed).mkString(" ") && dNbhds(xName))
           out(oi) = (("MAHALLE", sx, ex))
       }
     }
@@ -677,7 +693,9 @@ object NerOutputs {
     // (3.65 spans are ILCE CLAIMS only — they are kept out of the step-4
     // probe's district-context lookup below: feeding them in was measured
     // to mint wrong bare-MAHALLE claims off the newly typed district)
-    val lateIlce = scala.collection.mutable.Set[Int]()
+    // lateIlce holds the 3.65-claimed SPANS (values, not indices — later
+    // phases remove/replace spans, which would shift positional bookkeeping)
+    val lateIlce = scala.collection.mutable.Set[(String, Int, Int)]()
     aux.foreach { ax =>
       out.toSeq.collect { case ("IL", s, e) => (s, e) }.foreach { case (s0, e0) =>
         val ilName = tokens.slice(s0, e0).mkString(" ")
@@ -685,7 +703,7 @@ object NerOutputs {
         if (k < T && (tokens(k) == "/" || tokens(k) == "-")) k += 1
         if (k < T && nameLike(tokens(k)) && !covered(k) &&
             ax.provToDistricts.getOrElse(ilName, Set.empty[String])(tokens(k))) {
-          lateIlce += out.length
+          lateIlce += (("ILCE", k, k + 1))
           out += (("ILCE", k, k + 1))
         }
       }
@@ -697,17 +715,21 @@ object NerOutputs {
     // before a MAHALLE span is that span's leading name: gold tags
     // "yalikavak dirmil mah" / "yalikavak geris mahallesi" as ONE MAHALLE.
     // Real districts never merge — the closed-class gate keeps the top-down
-    // "manisa alasehir fatih mah" ILCE intact.
+    // "manisa alasehir fatih mah" ILCE intact. Merges are decided on an
+    // immutable snapshot and applied by VALUE afterwards (an indexed write
+    // into a buffer being removed from walks onto the wrong span).
     aux.foreach { ax =>
-      val mahByStart = out.toSeq.collect { case ("MAHALLE", s, e) => (s, e) }.toMap
-      out.zipWithIndex.toSeq.foreach { case ((t, s, e), oi) =>
-        if (t == "ILCE" &&
-            !ax.distToNbhdUnion.contains(tokens.slice(s, e).mkString(" ")) &&
+      val snapshot = out.toList
+      val mahByStart = snapshot.collect { case ("MAHALLE", s, e) => (s, e) }.toMap
+      snapshot.foreach { case sp @ (t, s, e) =>
+        if (t == "ILCE" && realDistName(ax, tokens, s, e).isEmpty &&
             mahByStart.contains(e)) {
-          val me = mahByStart(e)
-          out(oi) = (("MAHALLE", s, me))
-          val mi = out.indexOf(("MAHALLE", e, me))
-          if (mi >= 0) out.remove(mi)
+          val merged = ("MAHALLE", s, mahByStart(e))
+          Seq(sp, ("MAHALLE", e, mahByStart(e))).foreach { victim =>
+            val i = out.indexOf(victim)
+            if (i >= 0) out.remove(i)
+          }
+          out += merged
         }
       }
     }
@@ -723,11 +745,10 @@ object NerOutputs {
       // district homonym BEFORE the real one ("adnan menderes efeler
       // aydin": İzmir's menderes is typed ILCE but has no matching
       // neighbourhood; efeler does)
-      val distNames = (dist.map(_._1).toSeq ++
-        out.zipWithIndex.toSeq.collect {
-          case (("ILCE", s, e), oi) if !lateIlce(oi) =>
-            tokens.slice(s, e).mkString(" ")
-        }).distinct.filter(ax.distToNbhdUnion.contains)
+      val distNames = (dist.map(_._1).toSeq.filter(ax.distToNbhdUnion.contains) ++
+        out.toSeq.collect {
+          case sp @ ("ILCE", s, e) if !lateIlce(sp) => realDistName(ax, tokens, s, e)
+        }.flatten).distinct
       distNames.iterator.map { d =>
         val p2 = prov.map(_._1).orElse(ax.distToFirstProv.get(d))
         val allowed = p2.flatMap(p => ax.pairToNbhds.get((p, d)))
@@ -740,7 +761,7 @@ object NerOutputs {
     // occurrence. The MINED probe still fires only in MAHALLE-less
     // sentences (its unrestricted fallback over-fires in prose); the aux
     // probe's hierarchy restriction makes it safe alongside keyword spans.
-    val auxHit = auxProbe
+    lazy val auxHit = auxProbe // lazy: the mined probe short-circuits it
     val probeHit: Option[(String, Int, Int)] =
       if (!out.exists(_._1 == "MAHALLE")) {
         val provName = prov.map(_._1).orElse(dist.flatMap(d => idx.distToFirstProv.get(d._1)))
@@ -759,7 +780,7 @@ object NerOutputs {
             StaticParser.bestMatch(tokens, idx.nbhdIndex, None) else None)
       } else auxHit
     probeHit.foreach { case (n, _, _) =>
-      val auxConfirmed = auxHit.exists(_._1 == n)
+      lazy val auxConfirmed = auxHit.exists(_._1 == n)
       occurrences(n).foreach { case (s, e) =>
         // gold annotation convention (goldset_1k_yegeb.conll): the keyword
         // token belongs to the span — extend over a following canonical "mah"

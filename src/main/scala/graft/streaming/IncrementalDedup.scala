@@ -283,8 +283,18 @@ object IncrementalDedup {
   private val SimhashPrefixes = Seq("banded_delta_", "pairs_delta_")
   private val EmbedPrefixes = Seq("vecs_delta_", "banded_delta_", "pairs_delta_")
 
+  /** Committed MinHash-layout batches. The other families have their own
+    * role sets — use [[simhashCommittedBatches]]/[[embedCommittedBatches]]
+    * for state dirs written by [[simhashRun]]/[[embedRun]] (this one scans
+    * for the sets role and reads a healthy SimHash/embed dir as empty). */
   def committedBatches(stateDir: String): Seq[Long] =
     committedBatches(stateDir, MinhashPrefixes)
+
+  def simhashCommittedBatches(stateDir: String): Seq[Long] =
+    committedBatches(stateDir, SimhashPrefixes)
+
+  def embedCommittedBatches(stateDir: String): Seq[Long] =
+    committedBatches(stateDir, EmbedPrefixes)
 
   private def committedBatches(stateDir: String, prefixes: Seq[String]): Seq[Long] =
     StateFs.listNames(stateDir)
@@ -325,9 +335,7 @@ object IncrementalDedup {
     gcSuperseded(stateDir, batchId, prefixes)
     val live = liveBatches(stateDir, batchId, prefixes)
     val prev: Seq[DataFrame] =
-      if (live.isEmpty) empties
-      else prefixes.map(p => live.map(b => spark.read.parquet(s"$stateDir/$p$b"))
-        .reduce(_ unionByName _))
+      loadFrames(spark, stateDir, batchId, prefixes).getOrElse(empties)
     val d = deltaOf(prev)
     val base = compactions(stateDir).filter(_ < batchId).lastOption
     val doCompact = compactEvery > 0 &&
@@ -339,50 +347,46 @@ object IncrementalDedup {
     if (doCompact) StateFs.publish(stateDir, s"compacted_$batchId", Array.empty[Byte])
   }
 
+  /** Live committed deltas before `beforeBatch`, each role rebuilt by plain
+    * union — None when no batch has committed yet. The ONE reader every
+    * loader and [[persistStep]] share, so the delta layout has a single
+    * read path. */
+  private def loadFrames(spark: SparkSession, stateDir: String, beforeBatch: Long,
+                         prefixes: Seq[String]): Option[Seq[DataFrame]] = {
+    val live = liveBatches(stateDir, beforeBatch, prefixes)
+    if (live.isEmpty) None
+    else Some(prefixes.map(p => live.map(b => spark.read.parquet(s"$stateDir/$p$b"))
+      .reduce(_ unionByName _)))
+  }
+
   /** Accumulated state before `beforeBatch`, reconstructed by plain union of
     * the live committed deltas (empty-state schemas when none exist). */
   def loadState(spark: SparkSession, stateDir: String, beforeBatch: Long,
                 idCol: String, textCol: String,
-                shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): State = {
-    val live = liveBatches(stateDir, beforeBatch, MinhashPrefixes)
-    if (live.isEmpty)
-      empty(emptyDocs(spark, idCol, textCol), idCol, textCol,
+                shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): State =
+    loadFrames(spark, stateDir, beforeBatch, MinhashPrefixes) match {
+      case Some(Seq(sets, banded, pairs)) => State(sets, banded, pairs)
+      case _ => empty(emptyDocs(spark, idCol, textCol), idCol, textCol,
         shingleN, numHashes, bands)
-    else {
-      def union(prefix: String): DataFrame = live
-        .map(b => spark.read.parquet(s"$stateDir/$prefix$b"))
-        .reduce(_ unionByName _)
-      State(union("sets_delta_"), union("banded_delta_"), union("pairs_delta_"))
     }
-  }
 
   /** SimHash twin of [[loadState]] (banded + pairs roles only). */
   def loadSimhashState(spark: SparkSession, stateDir: String, beforeBatch: Long,
-                       idCol: String, textCol: String): SimhashState = {
-    val live = liveBatches(stateDir, beforeBatch, SimhashPrefixes)
-    if (live.isEmpty) simhashEmpty(emptyDocs(spark, idCol, textCol), idCol, textCol)
-    else {
-      def union(prefix: String): DataFrame = live
-        .map(b => spark.read.parquet(s"$stateDir/$prefix$b"))
-        .reduce(_ unionByName _)
-      SimhashState(union("banded_delta_"), union("pairs_delta_"))
+                       idCol: String, textCol: String): SimhashState =
+    loadFrames(spark, stateDir, beforeBatch, SimhashPrefixes) match {
+      case Some(Seq(banded, pairs)) => SimhashState(banded, pairs)
+      case _ => simhashEmpty(emptyDocs(spark, idCol, textCol), idCol, textCol)
     }
-  }
 
   /** Embedding twin of [[loadState]] (vecs + banded + pairs roles). */
   def loadEmbedState(spark: SparkSession, stateDir: String, beforeBatch: Long,
                      idCol: String, vecCol: String,
-                     planes: Int = 24, bands: Int = 4): EmbedState = {
-    val live = liveBatches(stateDir, beforeBatch, EmbedPrefixes)
-    if (live.isEmpty)
-      embedEmpty(emptyVecs(spark, idCol, vecCol), idCol, vecCol, planes, bands)
-    else {
-      def union(prefix: String): DataFrame = live
-        .map(b => spark.read.parquet(s"$stateDir/$prefix$b"))
-        .reduce(_ unionByName _)
-      EmbedState(union("vecs_delta_"), union("banded_delta_"), union("pairs_delta_"))
+                     planes: Int = 24, bands: Int = 4): EmbedState =
+    loadFrames(spark, stateDir, beforeBatch, EmbedPrefixes) match {
+      case Some(Seq(vecs, banded, pairs)) => EmbedState(vecs, banded, pairs)
+      case _ => embedEmpty(emptyVecs(spark, idCol, vecCol), idCol, vecCol,
+        planes, bands)
     }
-  }
 
   private def emptyDocs(spark: SparkSession, idCol: String, textCol: String): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
