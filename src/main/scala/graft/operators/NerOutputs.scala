@@ -66,9 +66,6 @@ object NerOutputs {
     Set("mah", "cad", "sk", "no", "kat", "daire", "d", ":", "/") ++
       SiteKw ++ BinaAdiKw ++ BulvarKw ++ TarifKw
 
-  /** Generic tokens that precede a district in business addresses but are
-    * never a neighbourhood name (country, "center", "branch") — excluded
-    * from the positional bare-MAHALLE/ILCE claims. */
   /** The real-table district name an ILCE span denotes, if any: the
     * space-joined surface form, or — for a span the 3.4 split-typo fuse
     * claimed ("sefe rihisar") — the CONCATENATION the table actually holds
@@ -84,6 +81,9 @@ object NerOutputs {
     }
   }
 
+  /** Generic tokens that precede a district in business addresses but are
+    * never a neighbourhood name (country, "center", "branch") — excluded
+    * from the positional bare-MAHALLE/ILCE claims. */
   private[operators] val NotNbhd: Set[String] =
     Set("turkiye", "merkez", "sube", "subesi",
       // closed-class organizational nouns (unit, group, office, branch,
