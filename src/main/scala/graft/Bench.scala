@@ -34,6 +34,11 @@ import org.apache.spark.sql.SparkSession
   *    (probe immediately before and after each ~2 s sample, so bracket
   *    cleanliness IS reliable there): official cold = min over probe-clean
   *    samples, with extra cold runs until one is clean;
+  *  - a DISCARDED warm-up (one full pipeline run + probe) precedes all
+  *    measurement: it absorbs JVM/JIT/page-cache warm-up and seeds the
+  *    probe floor, so pass acceptance runs against a realistic session
+  *    floor (round-6 records were retro-flagged when acceptance used a
+  *    stale, still-warming floor that later probes undercut);
   *  - everything stays in the JSON: all per-query samples, all probe times,
   *    `contention_ratio` (max/min probe), `clean_passes`, `cold_clean`;
   *  - failures are RECORDED, not swallowed: a crashing query lands in
@@ -98,12 +103,34 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    // probe indices: calib(p-1) and calib(p) bracket pass p (1-based)
-    calib += probe()
-    def passIsClean(p: Int): Boolean = {
-      val best = calib.min
-      calib(p - 1) <= CleanRatio * best && calib(p) <= CleanRatio * best
+
+    // ---- warm-up (discarded) ----
+    // One full cold-pipeline run + probes, counted NOWHERE: it absorbs the
+    // JVM/JIT/page-cache warm-up the first measured window otherwise pays,
+    // and seeds `calib` with post-warm-up probes so the pass loop accepts
+    // itself against a realistic session floor (round-6 records were
+    // retro-flagged because acceptance ran on a stale, still-warming floor
+    // that later probes undercut; running the COLD section first instead
+    // was measured to cost the cold metric its JVM-warm comparability —
+    // best cold 1.41 s warm vs 1.99 s cold-JVM).
+    val nPages = Queries.pagesFor(sfDir)
+    SparkEntry.queries.get("q_scored_pairs").foreach { fn =>
+      Queries.resetPipelineCache(spark)
+      graft.operators.Dedup.releaseCaches(spark)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up run failed: ${e.getMessage}") }
+      Queries.resetPipelineCache(spark)
+      graft.operators.Dedup.releaseCaches(spark)
     }
+    calib += probe()
+
+    // ---- per-query pass loop ----
+    // pass brackets tracked explicitly as (before, after) probe PAIRS — the
+    // cold section above contributes probes to `calib`, so positional
+    // indexing would mis-associate probes with passes
+    val passBrackets = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var passBefore = probe(); calib += passBefore
     var pass = 0
     var done = false
     while (!done) {
@@ -124,10 +151,14 @@ object Bench {
         // shared linkage-pipeline cache in Queries is deliberately kept)
         graft.operators.Dedup.releaseCaches(spark)
       }
-      calib += probe()
+      val passAfter = probe(); calib += passAfter
+      passBrackets += ((passBefore, passAfter)); passBefore = passAfter
       // adaptive: past the minimum pass count, keep going only while NO pass
-      // is probe-clean (cap maxRuns — a genuinely unusable host stays flagged)
-      val anyClean = (1 to pass).exists(passIsClean)
+      // is probe-clean (cap maxRuns — a genuinely unusable host stays
+      // flagged). The floor already includes the cold section's probes, so
+      // acceptance here is against the real session floor, not a warming one.
+      val anyClean = passBrackets.exists { case (b, a) =>
+        b <= CleanRatio * calib.min && a <= CleanRatio * calib.min }
       done = (pass >= runs && anyClean) || pass >= maxRuns
       if (!done)
         System.err.println(f"[bench] pass $pass noisy (probes ${calib.map(c => f"$c%.2f").mkString(",")}) — running extra pass")
@@ -142,22 +173,16 @@ object Bench {
     val failed = names.collect { case n if samples(n).isEmpty && errs.contains(n) => n -> errs(n) }
     val flaky = names.collect { case n if samples(n).nonEmpty && errs.contains(n) => n -> errs(n) }
 
-    // North-rule throughput: pages through the FULL cold scored pipeline
-    // (synthesize→extract→normalize→block→pair→score) per second. The
-    // round-3 official record was one unprotected first-run sample; a single
-    // contended window turned it into a phantom 7.7× "regression" (r3
-    // verdict). Now: a dedicated pass of `coldRuns` fully-cold samples —
-    // pipeline memo + dedup caches dropped before each, so every sample pays
-    // the whole path — official number = best PROBE-CLEAN sample, all
-    // samples + brackets recorded in the JSON.
-    val nPages = Queries.pagesFor(sfDir)
+    // ---- cold-pipeline throughput ----
+    // North-rule metric: pages through the FULL cold scored pipeline
+    // (synthesize→extract→normalize→block→pair→score) per second — pipeline
+    // memo + dedup caches dropped before each sample, JVM warm (the
+    // comparable configuration; see warm-up note above). Each ~2 s sample
+    // is bracketed IMMEDIATELY by probes; official = min over probe-clean
+    // samples, extra runs until one is clean; everything stays in the JSON.
     val coldRunsN = sys.env.getOrElse("SPARK_GRAFT_COLD_RUNS", "3").toInt
     val coldMax = math.max(coldRunsN,
       sys.env.getOrElse("SPARK_GRAFT_COLD_MAX_RUNS", "6").toInt)
-    // cold samples under the clean-window acceptance rule: each ~2 s sample
-    // is bracketed IMMEDIATELY by probes (so bracket cleanliness is reliable
-    // here, unlike a multi-minute pass); official = min over probe-clean
-    // samples, recomputed at the end against the final session floor
     val coldSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val coldBrackets = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     SparkEntry.queries.get("q_scored_pairs").foreach { fn =>
@@ -185,13 +210,15 @@ object Bench {
         coldDone = (i >= coldRunsN && anyCleanSoFar) || i >= coldMax
       }
     }
+
     // RECORD-level cleanliness against the FINAL session-best probe (early
     // probes can themselves be contended; a running baseline is too lax)
     val floor = calib.min
     val coldClean = coldBrackets.map { case (b, a) =>
       b <= CleanRatio * floor && a <= CleanRatio * floor }
-    val cleanPasses = (1 to pass).filter { p =>
-      calib(p - 1) <= CleanRatio * floor && calib(p) <= CleanRatio * floor }
+    val cleanPasses = passBrackets.zipWithIndex.collect {
+      case ((b, a), i) if b <= CleanRatio * floor && a <= CleanRatio * floor => i + 1
+    }.toSeq
     val officialClean = cleanPasses.nonEmpty
     val coldOfficial = coldSamples.indices.collect {
       case i if coldClean(i) => coldSamples(i)
