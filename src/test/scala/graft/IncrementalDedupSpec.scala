@@ -191,6 +191,48 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("adversarial split shapes: empty and all-duplicate batches == full recompute") {
+    // the split shapes a production stream actually produces: an EMPTY
+    // micro-batch (quiet source interval — drives the salted join's probes
+    // over a 0-row relation), a batch that is ONLY duplicates of accumulated
+    // docs, and a tail batch with everything else. Equality must hold and
+    // per-pair emission stay exactly-once across all of them.
+    val empty = docs.filter(lit(false))
+    val dupsOnly = docs.filter(col("doc_id") >= 100000L)
+    val bulk = docs.filter(col("doc_id") < 100000L && col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") < 100000L && col("doc_id") % 2 =!= 0)
+
+    var st = IncrementalDedup.empty(docs, "doc_id", "text")
+    var added = 0L
+    Seq(bulk, empty, rest, dupsOnly).foreach { b =>
+      val s = IncrementalDedup.step(st, b, "doc_id", "text", threshold = 0.5)
+      st = s.state
+      added += s.pairsAdded
+    }
+    val inc = st.pairs.persist()
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).persist()
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "adversarial-split incremental state diverged from full recompute")
+    assert(added == full.count(), s"pairsAdded sum $added != full ${full.count()}")
+    inc.unpersist(); full.unpersist()
+
+    // same shapes through the simhash family (signature-in-band state)
+    var sst = IncrementalDedup.simhashEmpty(docs, "doc_id", "text")
+    var sAdded = 0L
+    Seq(dupsOnly, empty, bulk, rest).foreach { b =>
+      val s = IncrementalDedup.simhashStep(sst, b, "doc_id", "text")
+      sst = s.state
+      sAdded += s.pairsAdded
+    }
+    val sInc = sst.pairs.persist()
+    val sFull = Dedup.simhashPairs(docs, "doc_id", "text").persist()
+    assert(sInc.except(sFull).count() == 0 && sFull.except(sInc).count() == 0,
+      "adversarial-split simhash state diverged from full recompute")
+    assert(sAdded == sFull.count(), s"simhash pairsAdded $sAdded != ${sFull.count()}")
+    sInc.unpersist(); sFull.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
   test("a small batch touches few buckets and re-pairs only those") {
     // batches 1+2 = the accumulated corpus; batch 3 = 4 fresh planted docs
     val first = docs.filter(col("doc_id") < 100000L)
