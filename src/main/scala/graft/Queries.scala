@@ -450,6 +450,22 @@ object Queries {
       val s2 = graft.streaming.IncrementalDedup.simhashStep(s1.state, b, "doc_id", "text")
       s2.state.pairs.orderBy("id_a", "id_b")
     }),
+    "q_incremental_ngram" -> ((s, dir) => {
+      // two-batch incremental n-gram Jaccard (exact PPJoin under the
+      // content-hash prefix order) over the same split; accumulated pairs
+      // must equal the frequency-ordered full ngramJaccardPairs run
+      // (IncrementalDedupSpec); no DuckDB oracle: the hash prefix order and
+      // salted candidate join are engine constructions — the VERIFIED pair
+      // set itself is oracled via q_ngram_jaccard's brute-force SQL twin
+      implicit val sp = s
+      val docs = t(dir, "documents")
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+      val b = docs.filter(col("doc_id") % 3 === 0)
+      val st0 = graft.streaming.IncrementalDedup.ngramEmpty(docs, "doc_id", "text", threshold = 0.8)
+      val s1 = graft.streaming.IncrementalDedup.ngramStep(st0, a, "doc_id", "text", threshold = 0.8)
+      val s2 = graft.streaming.IncrementalDedup.ngramStep(s1.state, b, "doc_id", "text", threshold = 0.8)
+      s2.state.pairs.orderBy("id_a", "id_b")
+    }),
     "q_incremental_embed" -> ((s, dir) => {
       // two-batch incremental embedding-LSH dedup with the q_embed_dedup
       // planted duplicates split across batches; accumulated pairs must

@@ -152,6 +152,12 @@ object Smoke {
     val ss2 = IncrementalDedup.simhashStep(ss1.state, dB, "doc_id", "text")
     println(s"[smoke] incremental_simhash: batch2 pairs_added=${ss2.pairsAdded} " +
       s"total_pairs=${ss2.state.pairs.count()}")
+    val ns1 = IncrementalDedup.ngramStep(
+      IncrementalDedup.ngramEmpty(dDocs, "doc_id", "text"), dA, "doc_id", "text",
+      threshold = 0.5)
+    val ns2 = IncrementalDedup.ngramStep(ns1.state, dB, "doc_id", "text", threshold = 0.5)
+    println(s"[smoke] incremental_ngram: batch2 touched_shingles=${ns2.touchedBuckets} " +
+      s"pairs_added=${ns2.pairsAdded} total_pairs=${ns2.state.pairs.count()}")
     val eVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val eAll = eVecs.union(eVecs.filter(col("vec_id") < 20)

@@ -307,10 +307,7 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5,
                         maxBucket: Int = 1000): DataFrame = {
     val sets = trackPersist(
-      spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-        .select(col("id"), array_distinct(TextFunctions.shingles(col("text"), n)).as("sh"))
-        .withColumn("nsh", size(col("sh")))
-        .filter(col("nsh") > 0))
+      shingleSets(df, idCol, textCol, n).filter(col("nsh") > 0))
 
     // global shingle frequency → total order (freq asc, shingle asc)
     val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
@@ -327,16 +324,35 @@ object Dedup {
       .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select(col("shingle"), col("id"), col("nsh"), col("rk")))
 
-    // candidates: docs sharing any prefix shingle, with size + positional
-    // prunes. The prefix self-join is skew-salted ([[Blocking.saltedSelfJoin]]):
-    // prefixes are the RAREST shingles so hot keys are unlikely by design,
-    // but an adversarial corpus (one boilerplate phrase in every document's
-    // prefix) would otherwise put that shingle's whole quadratic fan-out in
-    // one task — and the explicit repartition pin inside saltedSelfJoin also
-    // protects this join from AQE's amplification-blind coalescing (the
-    // documented 207-s-on-1-task failure mode).
+    val cand = ppjoinCandidates(prefix, threshold, maxBucket)
+
+    verifiedJaccard(cand, sets)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** PPJoin candidate tail shared by the frequency-ordered full operator and
+    * the hash-ordered incremental one: docs sharing any prefix shingle, with
+    * the size + positional prunes applied before verification. Both prunes
+    * are sound under ANY fixed total order — ranks follow one global order,
+    * so the globally-first shared prefix shingle minimizes BOTH ranks and
+    * min(ra)/min(rb) come from the same row.
+    *
+    * The prefix self-join is skew-salted ([[Blocking.saltedSelfJoin]]):
+    * frequency-ordered prefixes are the RAREST shingles so hot keys are
+    * unlikely by design (hash-ordered prefixes lack even that bias), but an
+    * adversarial corpus (one boilerplate phrase in every document's prefix)
+    * would otherwise put that shingle's whole quadratic fan-out in one task —
+    * and the explicit repartition pin inside saltedSelfJoin also protects
+    * this join from AQE's amplification-blind coalescing (the documented
+    * 207-s-on-1-task failure mode).
+    *
+    * @param prefix prefix rows (shingle, id, nsh, rk) ranked under ONE fixed
+    *               global shingle order */
+  private[graft] def ppjoinCandidates(prefix: DataFrame, threshold: Double,
+                                      maxBucket: Int): DataFrame = {
     val alpha = ceil(lit(threshold) / (1 + threshold) * (col("nsh_a") + col("nsh_b")))
-    val cand = Blocking.saltedSelfJoin(prefix, Seq("shingle"), "id",
+    Blocking.saltedSelfJoin(prefix, Seq("shingle"), "id",
         Seq("nsh", "rk"), maxBucket)
       .groupBy(col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"))
       .agg(min(col("rk_a")).as("ra"), min(col("rk_b")).as("rb"))
@@ -344,10 +360,33 @@ object Dedup {
         / greatest(col("nsh_a"), col("nsh_b")) >= threshold)
       .filter(lit(1) + least(col("nsh_a") - col("ra"), col("nsh_b") - col("rb")) >= alpha)
       .select("id_a", "id_b")
+  }
 
-    verifiedJaccard(cand, sets)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  /** Prefix rows under the CONTENT-HASH total order (xxhash64 asc, shingle
+    * asc as the collision tie-break): each document's ranked shingle list —
+    * hence its prefix — is a pure function of the document alone, never of
+    * the corpus. That order stability is what makes an EXACT incremental
+    * PPJoin possible ([[graft.streaming.IncrementalDedup.ngramStep]]): the
+    * prefix-filter completeness lemma holds for ANY fixed total order;
+    * frequency ordering is only the pruning heuristic that makes prefixes
+    * the rarest shingles. The price is pruning quality — hash order scatters
+    * prefixes uniformly instead of picking rare shingles, so candidate
+    * volume rises on skew-frequency corpora; the skew-salted self-join still
+    * bounds every task at O(maxBucket²), and exact verification keeps the
+    * output identical either way.
+    *
+    * Unlike the frequency path this needs NO corpus aggregate, NO join and
+    * NO rank window: the order is computed inside the row (sort the shingle
+    * array by hash, slice the prefix, posexplode) — the whole relation is a
+    * shuffle-free projection of the sets state. */
+  private[graft] def hashOrderedPrefix(sets: DataFrame, threshold: Double): DataFrame = {
+    val sorted = transform(
+      array_sort(transform(col("sh"), s => struct(xxhash64(s).as("h"), s.as("s")))),
+      x => x.getField("s"))
+    val plen = (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int")
+    sets.select(col("id"), col("nsh"), posexplode(slice(sorted, lit(1), plen)))
+      .select(col("col").as("shingle"), col("id"), col("nsh"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   // ------------------------- embedding cosine ------------------------------

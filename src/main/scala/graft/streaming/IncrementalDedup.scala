@@ -38,12 +38,17 @@ import graft.plans.StateFs
   * The same touched-bucket core serves the whole banded-LSH dedup family:
   * [[simhashStep]] (4×16-bit bands, Hamming verification from signatures
   * riding the band rows) and [[embedStep]] (hyperplane bands, exact-cosine
-  * verification against accumulated vectors). n-gram Jaccard (PPJoin) has NO
-  * exact incremental form by construction: its prefix filter depends on the
-  * GLOBAL shingle-frequency order, so a batch can change which shingles form
-  * an OLD document's prefix — any "incremental" variant would either re-rank
-  * the full corpus per batch (O(corpus), not incremental) or silently lose
-  * recall. Use the MinHash family for streaming Jaccard dedup.
+  * verification against accumulated vectors) — and, with "bucket" = prefix
+  * shingle, the exact n-gram Jaccard join too ([[ngramStep]]). The
+  * frequency-ADAPTIVE prefix order of [[Dedup.ngramJaccardPairs]] is not
+  * incremental (a batch can change which shingles form an OLD document's
+  * prefix), but the prefix-filter completeness lemma holds for ANY fixed
+  * total order: under the content-hash order
+  * ([[Dedup.hashOrderedPrefix]]) a document's prefix is a pure function of
+  * the document, the size/positional prunes stay sound, and exact Jaccard
+  * verification makes the accumulated pairs IDENTICAL to the
+  * frequency-ordered full recompute — the order only steers pruning
+  * efficiency, never the output.
   */
 object IncrementalDedup {
 
@@ -126,12 +131,14 @@ object IncrementalDedup {
     * the candidate-generation relation: existing members of touched buckets
     * (left-semi: key-colocated probe, no payload re-shuffle) plus the batch's
     * own rows. `affected` is persisted — it feeds the salted join's hot
-    * probe and both join branches. */
-  private def touchedAffected(prevBanded: DataFrame,
-                              newBanded: DataFrame): (DataFrame, DataFrame) = {
-    val touched = newBanded.select("band", "bucket").distinct()
+    * probe and both join branches. `keys` is the family's bucket identity:
+    * (band, bucket) for the banded LSH families, the prefix shingle for the
+    * PPJoin family. */
+  private def touchedAffected(prevBanded: DataFrame, newBanded: DataFrame,
+                              keys: Seq[String] = Seq("band", "bucket")): (DataFrame, DataFrame) = {
+    val touched = newBanded.select(keys.map(col): _*).distinct()
     val affected = Dedup.trackPersist(
-      prevBanded.join(touched, Seq("band", "bucket"), "left_semi")
+      prevBanded.join(touched, keys, "left_semi")
         .unionByName(newBanded))
     (touched, affected)
   }
@@ -264,6 +271,74 @@ object IncrementalDedup {
     EmbedDelta(newVecs, newBanded, fresh, tb, np)
   }
 
+  // ----------------------------- n-gram family -----------------------------
+
+  /** Incremental n-gram Jaccard state: `sets` (id, sh, nsh) for exact
+    * verification, `prefix` (shingle, id, nsh, rk) hash-ordered prefix rows
+    * for candidate generation ([[Dedup.hashOrderedPrefix]] — the "banded"
+    * role, with the prefix shingle as the bucket), `pairs` append-only. */
+  case class NgramState(sets: DataFrame, prefix: DataFrame, pairs: DataFrame)
+  case class NgramStep(state: NgramState, touchedBuckets: Long, pairsAdded: Long)
+  case class NgramDelta(sets: DataFrame, prefix: DataFrame, pairs: DataFrame,
+                        touchedBuckets: Long, pairsAdded: Long)
+
+  def ngramEmpty(like: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, threshold: Double = 0.5): NgramState = {
+    val sets = Dedup.shingleSets(like.limit(0), idCol, textCol, n)
+      .filter(col("nsh") > 0)
+    NgramState(sets, Dedup.hashOrderedPrefix(sets, threshold),
+      sets.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0d).as("jaccard")).limit(0))
+  }
+
+  /** One EXACT incremental PPJoin step: prefixes under the content-hash
+    * shingle order are a pure function of each document, so a batch never
+    * changes an old document's prefix — candidate pairs arise only in prefix
+    * buckets (shingles) the batch touches, and exact Jaccard verification
+    * runs against the accumulated shingle state. Accumulated `pairs` equal
+    * the frequency-ordered [[Dedup.ngramJaccardPairs]] on the full corpus
+    * (IncrementalDedupSpec): the prefix filter is complete under ANY fixed
+    * total order, the size/positional prunes are order-sound, and
+    * verification is order-independent — the order steers pruning
+    * efficiency only. Per-pair emission is exactly-once (by the batch that
+    * brings the later member): a pair's prefix overlap, prune outcome and
+    * jaccard are all pure functions of its two documents, so the pair is a
+    * surviving candidate exactly when both members are present and one is
+    * new.
+    * Precondition: `n`/`threshold` fixed across every step of a state
+    * (prefix lengths are derived from `threshold`); batches carry disjoint
+    * ids (append-only corpus). */
+  def ngramStep(prev: NgramState, batch: DataFrame, idCol: String,
+                textCol: String, n: Int = 3, threshold: Double = 0.5,
+                maxBucket: Int = 1000): NgramStep = {
+    val d = ngramDelta(prev, batch, idCol, textCol, n, threshold, maxBucket)
+    NgramStep(NgramState(prev.sets.unionByName(d.sets),
+      prev.prefix.unionByName(d.prefix),
+      prev.pairs.unionByName(d.pairs)), d.touchedBuckets, d.pairsAdded)
+  }
+
+  /** The PPJoin batch increment against accumulated state (see
+    * [[ngramStep]]). */
+  def ngramDelta(prev: NgramState, batch: DataFrame, idCol: String,
+                 textCol: String, n: Int = 3, threshold: Double = 0.5,
+                 maxBucket: Int = 1000): NgramDelta = {
+    val newSets = Dedup.trackPersist(
+      Dedup.shingleSets(batch, idCol, textCol, n).filter(col("nsh") > 0))
+    val newPrefix = Dedup.trackPersist(
+      Dedup.hashOrderedPrefix(newSets, threshold))
+    val (touched, affected) = touchedAffected(prev.prefix, newPrefix,
+      keys = Seq("shingle"))
+    val cand = keepPairsWithNewMember(
+      Dedup.ppjoinCandidates(affected, threshold, maxBucket),
+      newSets.select("id"))
+    val fresh = Dedup.trackPersist(
+      Dedup.verifiedJaccard(cand, prev.sets.unionByName(newSets))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
+    val (tb, np) = stats(touched, fresh)
+    NgramDelta(newSets, newPrefix, fresh, tb, np)
+  }
+
   // ------------------------- persisted state layout -------------------------
   // Per-batch APPEND-ONLY deltas: `sets_delta_N` / `banded_delta_N` /
   // `pairs_delta_N` parquet dirs (committed = all three carry _SUCCESS);
@@ -282,6 +357,7 @@ object IncrementalDedup {
   private val MinhashPrefixes = Seq("sets_delta_", "banded_delta_", "pairs_delta_")
   private val SimhashPrefixes = Seq("banded_delta_", "pairs_delta_")
   private val EmbedPrefixes = Seq("vecs_delta_", "banded_delta_", "pairs_delta_")
+  private val NgramPrefixes = Seq("sets_delta_", "prefix_delta_", "pairs_delta_")
 
   /** Committed MinHash-layout batches. The other families have their own
     * role sets — use [[simhashCommittedBatches]]/[[embedCommittedBatches]]
@@ -295,6 +371,9 @@ object IncrementalDedup {
 
   def embedCommittedBatches(stateDir: String): Seq[Long] =
     committedBatches(stateDir, EmbedPrefixes)
+
+  def ngramCommittedBatches(stateDir: String): Seq[Long] =
+    committedBatches(stateDir, NgramPrefixes)
 
   private def committedBatches(stateDir: String, prefixes: Seq[String]): Seq[Long] =
     StateFs.listNames(stateDir)
@@ -386,6 +465,16 @@ object IncrementalDedup {
       case Some(Seq(vecs, banded, pairs)) => EmbedState(vecs, banded, pairs)
       case _ => embedEmpty(emptyVecs(spark, idCol, vecCol), idCol, vecCol,
         planes, bands)
+    }
+
+  /** PPJoin twin of [[loadState]] (sets + prefix + pairs roles). */
+  def loadNgramState(spark: SparkSession, stateDir: String, beforeBatch: Long,
+                     idCol: String, textCol: String,
+                     n: Int = 3, threshold: Double = 0.5): NgramState =
+    loadFrames(spark, stateDir, beforeBatch, NgramPrefixes) match {
+      case Some(Seq(sets, prefix, pairs)) => NgramState(sets, prefix, pairs)
+      case _ => ngramEmpty(emptyDocs(spark, idCol, textCol), idCol, textCol,
+        n, threshold)
     }
 
   private def emptyDocs(spark: SparkSession, idCol: String, textCol: String): DataFrame =
@@ -482,6 +571,35 @@ object IncrementalDedup {
               batch.toDF().select(idCol, vecCol), idCol, vecCol,
               planes, bands, threshold, maxBucket)
             Seq(d.vecs, d.banded, d.pairs)
+          })
+        graft.operators.Dedup.releaseCaches(sp)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** PPJoin streaming driver — the [[run]] shape over the three-role n-gram
+    * state (shingle sets + hash-ordered prefix rows + pairs). */
+  def ngramRun(spark: SparkSession, inDir: String, stateDir: String,
+               checkpoint: String, idCol: String = "doc_id",
+               textCol: String = "text", n: Int = 3, threshold: Double = 0.5,
+               maxBucket: Int = 1000,
+               compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingIngest.readDocs(spark, inDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        persistStep(sp, stateDir, batchId, NgramPrefixes, compactEvery,
+          empties = {
+            val e = ngramEmpty(emptyDocs(sp, idCol, textCol), idCol, textCol,
+              n, threshold)
+            Seq(e.sets, e.prefix, e.pairs)
+          },
+          deltaOf = { case Seq(sets, prefix, pairs) =>
+            val d = ngramDelta(NgramState(sets, prefix, pairs),
+              batch.toDF().select(idCol, textCol), idCol, textCol,
+              n, threshold, maxBucket)
+            Seq(d.sets, d.prefix, d.pairs)
           })
         graft.operators.Dedup.releaseCaches(sp)
         ()

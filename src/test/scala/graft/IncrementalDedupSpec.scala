@@ -136,6 +136,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("3-batch incremental ngram state == full-corpus ngramJaccardPairs") {
+    // the full operator ranks prefixes by ADAPTIVE corpus frequency; the
+    // incremental one by the content-hash order — the prefix filter is
+    // complete under any fixed total order and verification is exact, so
+    // the outputs must be row-identical despite different candidate sets
+    val batches = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    var st = IncrementalDedup.ngramEmpty(docs, "doc_id", "text")
+    var added = 0L
+    batches.foreach { b =>
+      val s = IncrementalDedup.ngramStep(st, b, "doc_id", "text", threshold = 0.5)
+      st = s.state
+      added += s.pairsAdded
+      assert(s.touchedBuckets > 0)
+    }
+    val inc = st.pairs.persist()
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5).persist()
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "incremental ngram pairs diverged from frequency-ordered full recompute")
+    assert(added == full.count(), s"pairsAdded sum $added != full ${full.count()}")
+    // planted cross-batch duplicates found at jaccard 1
+    assert(inc.filter(col("id_b") >= 100000L && col("id_a") < 100000L &&
+      col("jaccard") === 1.0).count() >= 12)
+    inc.unpersist(); full.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
   test("simhash/embed streaming drives: persisted deltas + restart == full recompute") {
     val root = java.nio.file.Files.createTempDirectory("inc_fam_stream").toString
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -188,6 +214,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "persisted embed streaming state diverged from full recompute")
     assert(eInc.count() >= 20, "planted duplicates not all found")
     vecs.unpersist(); eInc.unpersist(); eFull.unpersist()
+
+    // --- ngram driver: run 1 (two files), restart with a third (compacts)
+    val nIn = s"$root/n_in"; val nState = s"$root/n_state"; val nCkpt = s"$root/n_ckpt"
+    (0 to 1).foreach(r => writeBatch(nIn, all.filter(col("doc_id") % 3 === r), s"n$r"))
+    IncrementalDedup.ngramRun(spark, nIn, nState, nCkpt, threshold = 0.5,
+      compactEvery = 2).awaitTermination()
+    writeBatch(nIn, all.filter(col("doc_id") % 3 === 2), "n2")
+    IncrementalDedup.ngramRun(spark, nIn, nState, nCkpt, threshold = 0.5,
+      compactEvery = 2).awaitTermination()
+    val nState2 = IncrementalDedup.loadNgramState(spark, nState, Long.MaxValue,
+      "doc_id", "text")
+    val nFull = Dedup.ngramJaccardPairs(all, "doc_id", "text", threshold = 0.5).persist()
+    val nInc = nState2.pairs.persist()
+    assert(nInc.except(nFull).count() == 0 && nFull.except(nInc).count() == 0,
+      "persisted ngram streaming state diverged from full recompute")
+    // sets state carries every doc with a non-empty shingle set (the same
+    // nsh > 0 domain the full operator works over)
+    assert(nState2.sets.count() ==
+      Dedup.shingleSets(all, "doc_id", "text", 3).filter(col("nsh") > 0).count(),
+      "ngram sets state incomplete")
+    assert(IncrementalDedup.ngramCommittedBatches(nState).nonEmpty)
+    assert(IncrementalDedup.compactions(nState).nonEmpty, "no ngram compaction")
+    nInc.unpersist(); nFull.unpersist()
     Dedup.releaseCaches(spark)
   }
 
@@ -230,6 +279,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "adversarial-split simhash state diverged from full recompute")
     assert(sAdded == sFull.count(), s"simhash pairsAdded $sAdded != ${sFull.count()}")
     sInc.unpersist(); sFull.unpersist()
+
+    // same shapes through the PPJoin family (prefix-shingle buckets)
+    var nst = IncrementalDedup.ngramEmpty(docs, "doc_id", "text")
+    var nAdded = 0L
+    Seq(empty, rest, dupsOnly, bulk).foreach { b =>
+      val s = IncrementalDedup.ngramStep(nst, b, "doc_id", "text", threshold = 0.5)
+      nst = s.state
+      nAdded += s.pairsAdded
+    }
+    val nInc = nst.pairs.persist()
+    val nFull = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5).persist()
+    assert(nInc.except(nFull).count() == 0 && nFull.except(nInc).count() == 0,
+      "adversarial-split ngram state diverged from full recompute")
+    assert(nAdded == nFull.count(), s"ngram pairsAdded $nAdded != ${nFull.count()}")
+    nInc.unpersist(); nFull.unpersist()
     Dedup.releaseCaches(spark)
   }
 

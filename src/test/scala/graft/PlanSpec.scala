@@ -177,9 +177,9 @@ class PlanSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
-    def check(df: DataFrame, payload: String): Unit = {
+    def check(df: DataFrame, payload: String, key: String = "bucket"): Unit = {
       val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
-      val banded = joins.filter(_.condition.exists(_.references.exists(_.name == "bucket")))
+      val banded = joins.filter(_.condition.exists(_.references.exists(_.name == key)))
       assert(banded.nonEmpty, "no banded join in the incremental delta plan")
       banded.foreach { j =>
         val cols = (j.left.output ++ j.right.output).map(_.name)
@@ -202,6 +202,9 @@ class PlanSpec extends AnyFunSuite {
     val em = IncrementalDedup.embedStep(
       IncrementalDedup.embedEmpty(emb, "vec_id", "embedding"), ea, "vec_id", "embedding")
     val emd = IncrementalDedup.embedDelta(em.state, eb, "vec_id", "embedding").pairs
+    val ng = IncrementalDedup.ngramStep(
+      IncrementalDedup.ngramEmpty(docs, "doc_id", "text"), a, "doc_id", "text")
+    val ngd = IncrementalDedup.ngramDelta(ng.state, b, "doc_id", "text").pairs
     // the delta frames are persisted by the operator, which would make the
     // optimizer substitute InMemoryRelation and HIDE the join tree from the
     // assertion — release the caches first (queryExecution is lazy; nothing
@@ -210,6 +213,8 @@ class PlanSpec extends AnyFunSuite {
     check(mhd, "sh")
     check(shd, "text")
     check(emd, "vec")
+    // the PPJoin family's bucket identity is the prefix shingle itself
+    check(ngd, "sh", key = "shingle")
   }
 
   test("IVF cell assignment is a shuffle-free projection (no Exchange/Window)") {
