@@ -450,6 +450,29 @@ object Queries {
       val s2 = graft.streaming.IncrementalDedup.simhashStep(s1.state, b, "doc_id", "text")
       s2.state.pairs.orderBy("id_a", "id_b")
     }),
+    "q_incremental_cc" -> ((s, dir) => {
+      // incremental connected components over a DuckDB-expressible graph:
+      // consecutive-custkey chain edges within each nation, split into two
+      // hash-interleaved batches so cross-batch merging is exercised — the
+      // accumulated assignment must label every customer with its nation's
+      // minimum custkey (singleton nations cluster with themselves), which
+      // the oracle states directly as MIN OVER (PARTITION BY nation)
+      implicit val sp = s
+      val cust = t(dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+      val edges = cust.withColumn("nxt", lead("c_custkey", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("c_custkey").as("src"), col("nxt").as("dst"))
+      val a = edges.filter(pmod(xxhash64(col("src"), col("dst")), lit(2)) === 0)
+      val b = edges.filter(pmod(xxhash64(col("src"), col("dst")), lit(2)) === 1)
+      var assign = graft.streaming.IncrementalCC.empty(edges)
+      assign = graft.streaming.IncrementalCC.step(assign, a).assign
+      assign = graft.streaming.IncrementalCC.step(assign, b).assign
+      cust.select(col("c_custkey").as("id"))
+        .join(assign, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        .orderBy("id")
+    }),
     "q_incremental_ngram" -> ((s, dir) => {
       // two-batch incremental n-gram Jaccard (exact PPJoin under the
       // content-hash prefix order) over the same split; accumulated pairs
@@ -518,6 +541,12 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q_norm_punct" -> normPunctSql,
+    // chain edges make each nation ONE component labeled by its min custkey;
+    // a singleton nation is its own component — exactly MIN OVER (PARTITION)
+    "q_incremental_cc" ->
+      """SELECT c_custkey AS id,
+        | MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+        |FROM customer ORDER BY id""".stripMargin,
     "q_tr_lower" ->
       "SELECT n_nationkey, lower(translate(n_name, 'İI', 'iı')) AS lname FROM nation ORDER BY n_nationkey",
     "q_levenshtein" ->

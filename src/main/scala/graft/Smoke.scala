@@ -158,6 +158,24 @@ object Smoke {
     val ns2 = IncrementalDedup.ngramStep(ns1.state, dB, "doc_id", "text", threshold = 0.5)
     println(s"[smoke] incremental_ngram: batch2 touched_shingles=${ns2.touchedBuckets} " +
       s"pairs_added=${ns2.pairsAdded} total_pairs=${ns2.state.pairs.count()}")
+    // Incremental CC maintains the cluster assignment from the pair deltas:
+    // folding the simhash pairs in two batches must reproduce the full
+    // operator's cluster count printed above (297 at sf0.001)
+    locally {
+      import graft.streaming.IncrementalCC
+      val shEdges = Dedup.simhashPairs(dDocs, "doc_id", "text")
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val eA = shEdges.filter(pmod(xxhash64(col("src"), col("dst")), lit(2)) === 0)
+      val eB = shEdges.filter(pmod(xxhash64(col("src"), col("dst")), lit(2)) === 1)
+      val c1 = IncrementalCC.step(IncrementalCC.empty(shEdges), eA)
+      val c2 = IncrementalCC.step(c1.assign, eB)
+      val nClusters = dDocs.select(col("doc_id").as("id"))
+        .join(c2.assign, Seq("id"), "left")
+        .select(coalesce(col("component"), col("id")).as("cluster"))
+        .distinct().count()
+      println(s"[smoke] incremental_cc: batch2 labels_retired=${c2.labelsRetired} " +
+        s"clusters=$nClusters (expect = simhash_clusters)")
+    }
     val eVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val eAll = eVecs.union(eVecs.filter(col("vec_id") < 20)

@@ -51,6 +51,16 @@ object StreamingIngest {
       StructField(idCol, LongType),
       StructField(vecCol, ArrayType(FloatType))))).parquet(dir)
 
+  /** File-source stream of undirected edges (src, dst) — the
+    * cluster-maintenance ingest shape ([[IncrementalCC.run]]); long node
+    * ids by default, strings (urls) with `stringIds`. */
+  def readEdges(spark: SparkSession, dir: String,
+                stringIds: Boolean = false): DataFrame = {
+    val t = if (stringIds) StringType else LongType
+    spark.readStream.schema(StructType(Seq(
+      StructField("src", t), StructField("dst", t)))).parquet(dir)
+  }
+
   /** Stateless per-batch transform: extract → normalize → block key
     * (the streaming twin of [[Linkage.prepare]]). */
   def prepared(pages: DataFrame, cfg: Linkage.Config = Linkage.Config()): DataFrame =
