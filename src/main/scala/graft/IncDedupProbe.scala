@@ -150,6 +150,35 @@ object IncDedupProbe {
         Dedup.releaseCaches(spark); n
       }
     }
+
+    // ---- 3. incremental CC at 1M nodes: 1k-edge batch vs full recompute ---
+    // 100k path components of 10 nodes each; the batch merges 1k random
+    // component pairs. The step's work is the batch contraction + a star
+    // iteration over ≤2k labels + one broadcast substitution — independent
+    // of the 1M-node assignment; the full operator pays O(log n) rounds of
+    // edge-set shuffles every time.
+    {
+      import graft.operators.ConnectedComponents
+      import graft.streaming.IncrementalCC
+      val n = 1000000L
+      val pathEdges = spark.range(n - 1).filter(pmod(col("id"), lit(10)) =!= 9)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .repartition(32).persist()
+      val batch = spark.range(1000)
+        .select(pmod(col("id") * 7919, lit(n)).as("src"),
+          pmod(col("id") * 104729 + 13, lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst")).persist()
+      batch.count()
+      var full: DataFrame = null
+      time("cc_full_recompute_900k_edges") {
+        full = ConnectedComponents.run(pathEdges)
+        full.count()
+      }
+      val assign = pin(full)
+      time("cc_incremental_step_1k_batch")(
+        IncrementalCC.step(assign, batch).assign.count())
+      Dedup.releaseCaches(spark)
+    }
     spark.stop()
   }
 }
