@@ -43,7 +43,14 @@ import graft.operators.{ConnectedComponents, Dedup}
   * Unlike the dedup states there is NO disjointness precondition: edges may
   * be re-delivered, duplicate, span batches arbitrarily, or connect nodes
   * both already present — a duplicate edge contracts to a self-loop and is
-  * dropped, so the step is idempotent on re-delivered input.
+  * dropped, so the step is idempotent on re-delivered input. That
+  * idempotence is what makes the LINKAGE composition sound, not just the
+  * dedup one: [[IncrementalLinkage]] re-scores every pair of a touched
+  * block, but scoring is deterministic over immutable records, so a
+  * re-scored old match re-emits VERBATIM (an idempotent no-op here) and is
+  * never retracted — feeding each batch's `rescored.filter(is_match)` edges
+  * into [[step]] maintains the entity assignment exactly
+  * (IncrementalCcSpec "maintains linkage entities").
   */
 object IncrementalCC {
 

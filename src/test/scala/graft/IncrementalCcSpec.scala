@@ -147,6 +147,41 @@ class IncrementalCcSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("maintains linkage entities: per-batch match-edge deltas fold == full CC") {
+    // the full incremental entity-resolution composition: pages arrive in
+    // batches → IncrementalLinkage re-scores only touched blocks →
+    // IncrementalCC folds each batch's MATCH edges into the entity
+    // assignment. Sound because linkage scoring is deterministic over
+    // immutable records: a touched block re-emits its old matches verbatim
+    // (a re-delivered edge is an idempotent no-op here) and never retracts
+    // one — the append-only property CC's merge-only step needs.
+    import graft.operators.Linkage
+    import graft.sources.Pages
+    import graft.streaming.{IncrementalCC, IncrementalLinkage}
+    val all = Pages.synthesize(spark, 1800L).toDF()
+    // split by url hash so records of one entity land in different batches
+    val batches = (0 to 2).map(r =>
+      all.filter(pmod(xxhash64(col("url")), lit(3)) === r))
+
+    var prep = Linkage.prepare(all).limit(0)
+    var scored = spark.emptyDataset[graft.operators.ScoredPair].toDF()
+    var assign = IncrementalCC.empty(
+      all.select(col("url").as("src"), col("url").as("dst")))
+    batches.foreach { b =>
+      val d = IncrementalLinkage.delta(prep, b)
+      val dP = d.rescored.persist() // feeds both the kept-union and the fold
+      prep = prep.unionByName(d.bPrep)
+      scored = scored.join(d.changed, Seq("block_key"), "left_anti")
+        .unionByName(dP)
+      assign = IncrementalCC.step(assign, dP.filter(col("is_match"))
+        .select(col("url_a").as("src"), col("url_b").as("dst"))).assign
+    }
+    val full = ConnectedComponents.run(scored.filter(col("is_match"))
+      .select(col("url_a").as("src"), col("url_b").as("dst")))
+    assertEqual(assign, full, "linkage entity maintenance")
+    Dedup.releaseCaches(spark)
+  }
+
   test("composes with incremental minhash pairs: clusters == minhashClusters") {
     // the production composition: IncrementalDedup keeps the near-dup PAIRS
     // current; IncrementalCC folds each batch's pair delta into the cluster
