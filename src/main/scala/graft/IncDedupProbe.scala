@@ -47,6 +47,26 @@ object IncDedupProbe {
       val n = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8).count()
       Dedup.releaseCaches(spark); n
     }
+    // freq order again, but the per-doc rank window replaced by a hash agg
+    // + in-row sort of (f, shingle) structs — same total order, same rk,
+    // byte-identical output; times the exchange+sort vs hash-agg trade
+    time("ngram_full_freq_agg_order") {
+      val sets = Dedup.trackPersist(
+        Dedup.shingleSets(docs, "doc_id", "text", 3).filter(col("nsh") > 0))
+      val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("f"))
+      val plen = (col("nsh") - ceil(col("nsh") * 0.8) + 1).cast("int")
+      val prefix = Dedup.trackPersist(exploded.join(freq, "shingle")
+        .groupBy(col("id"), col("nsh"))
+        .agg(array_sort(collect_list(struct(col("f"), col("shingle")))).as("fs"))
+        .select(col("id"), col("nsh"), posexplode(slice(col("fs"), lit(1), plen)))
+        .select(col("col.shingle").as("shingle"), col("id"), col("nsh"),
+          (col("pos") + 1).cast("int").as("rk")))
+      val cand = Dedup.ppjoinCandidates(prefix, 0.8, 1000)
+      val n = Dedup.verifiedJaccard(cand, sets)
+        .filter(col("jaccard") >= 0.8).count()
+      Dedup.releaseCaches(spark); n
+    }
     time("ngram_full_hash_order") {
       val sets = Dedup.trackPersist(
         Dedup.shingleSets(docs, "doc_id", "text", 3).filter(col("nsh") > 0))
