@@ -204,6 +204,31 @@ object IncrementalCC {
       }
     }
 
+  /** The per-batch persisted-state body (shared by [[run]] and composed
+    * drivers — [[IncrementalLinkage.run]]'s `entityStateDir`): GC superseded
+    * state, load the assignment, fold the batch's edges, write the O(delta)
+    * remap/fresh deltas, compact on cadence. Deterministic given the same
+    * prior state, so a re-delivered batch (caller's checkpoint crashed
+    * mid-commit) overwrites its own dirs byte-compatibly. */
+  private[streaming] def persistCcStep(sp: org.apache.spark.sql.SparkSession,
+      stateDir: String, batchId: Long, edges: DataFrame,
+      stringIds: Boolean, compactEvery: Int): Unit = {
+    gcSuperseded(stateDir, batchId)
+    val prev = loadAssign(sp, stateDir, batchId, stringIds)
+    val d = delta(prev, edges)
+    d.remap.write.mode("overwrite").parquet(s"$stateDir/$RemapP$batchId")
+    d.fresh.write.mode("overwrite").parquet(s"$stateDir/$FreshP$batchId")
+    val base = ccCompactions(stateDir).filter(_ < batchId).lastOption
+    val liveN = ccCommittedBatches(stateDir)
+      .count(b => b <= batchId && base.forall(b > _))
+    if (compactEvery > 0 && liveN >= compactEvery) {
+      applyDelta(prev, d).write.mode("overwrite")
+        .parquet(s"$stateDir/$AssignP$batchId")
+      graft.plans.StateFs.publish(stateDir, s"$CompactP$batchId",
+        Array.empty[Byte])
+    }
+  }
+
   /** Streaming driver: file-source edge stream → foreachBatch incremental
     * delta (the [[IncrementalDedup.run]] shape with the CC fold). Per-batch
     * state I/O is O(delta); a compaction batch additionally writes the
@@ -215,20 +240,7 @@ object IncrementalCC {
     StreamingIngest.readEdges(spark, inDir, stringIds).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
-        gcSuperseded(stateDir, batchId)
-        val prev = loadAssign(sp, stateDir, batchId, stringIds)
-        val d = delta(prev, batch.toDF())
-        d.remap.write.mode("overwrite").parquet(s"$stateDir/$RemapP$batchId")
-        d.fresh.write.mode("overwrite").parquet(s"$stateDir/$FreshP$batchId")
-        val base = ccCompactions(stateDir).filter(_ < batchId).lastOption
-        val liveN = ccCommittedBatches(stateDir)
-          .count(b => b <= batchId && base.forall(b > _))
-        if (compactEvery > 0 && liveN >= compactEvery) {
-          applyDelta(prev, d).write.mode("overwrite")
-            .parquet(s"$stateDir/$AssignP$batchId")
-          graft.plans.StateFs.publish(stateDir, s"$CompactP$batchId",
-            Array.empty[Byte])
-        }
+        persistCcStep(sp, stateDir, batchId, batch.toDF(), stringIds, compactEvery)
         Dedup.releaseCaches(sp)
         ()
       }

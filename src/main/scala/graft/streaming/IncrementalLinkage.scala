@@ -221,10 +221,20 @@ object IncrementalLinkage {
     * delta; state is per-batch delta parquet + periodic compaction (see
     * class doc), so a restart resumes from the last committed batch
     * (checkpoint tracks which input files are consumed — exactly-once per
-    * batch) and per-batch state I/O is O(delta), not O(corpus). */
+    * batch) and per-batch state I/O is O(delta), not O(corpus).
+    *
+    * With `entityStateDir` set, each batch ALSO folds its re-scored MATCH
+    * edges into a persisted [[IncrementalCC]] assignment there — the full
+    * production composition (pages → touched-block re-scoring → maintained
+    * entity clusters) in one exactly-once foreachBatch. Sound because
+    * scoring is deterministic over immutable records: a touched block
+    * re-emits its old matches verbatim (idempotent no-ops for the CC fold)
+    * and never retracts one. Query the maintained entities with
+    * [[IncrementalCC.loadAssign]] (string ids = urls). */
   def run(spark: SparkSession, inDir: String, stateDir: String,
           checkpoint: String, cfg: Linkage.Config = Linkage.Config(),
-          compactEvery: Int = 8): StreamingQuery = {
+          compactEvery: Int = 8,
+          entityStateDir: Option[String] = None): StreamingQuery = {
     migrateLegacyState(spark, stateDir)
     StreamingIngest.readPages(spark, inDir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -262,6 +272,16 @@ object IncrementalLinkage {
           // marker LAST, atomically — a crash before this line leaves an
           // oversized but correct delta; after it, older deltas are redundant
           StateFs.publish(stateDir, s"compacted_$batchId", Array.empty[Byte])
+        }
+        entityStateDir.foreach { ccDir =>
+          // the CC fold sees only this batch's re-scored matches: old
+          // matches of untouched blocks are already in the assignment, and
+          // a touched block's re-emitted matches are idempotent no-ops
+          IncrementalCC.persistCcStep(sp, ccDir, batchId,
+            d.rescored.filter(col("is_match"))
+              .select(col("url_a").as("src"), col("url_b").as("dst")),
+            stringIds = true, compactEvery)
+          graft.operators.Dedup.releaseCaches(sp)
         }
         d.bPrep.unpersist(false)
         ()

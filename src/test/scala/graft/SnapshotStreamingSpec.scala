@@ -266,6 +266,45 @@ class SnapshotStreamingSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("composed driver: entityStateDir maintains the CC assignment with the linkage state") {
+    import graft.streaming.{IncrementalCC, IncrementalLinkage}
+    val inDir = tmpDir("ent-in")
+    val stateDir = tmpDir("ent-state")
+    val ccDir = tmpDir("ent-cc")
+    val ckpt = tmpDir("ent-ckpt")
+    val all = Pages.synthesize(spark, 600).toDF().persist()
+    // url-hash split: one entity's pages land in DIFFERENT batches, so the
+    // maintained assignment must merge across batches
+    val a = all.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+    val b = all.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+
+    a.write.mode("append").parquet(inDir)
+    IncrementalLinkage.run(spark, inDir, stateDir, ckpt,
+      entityStateDir = Some(ccDir)).awaitTermination()
+    b.write.mode("append").parquet(inDir)
+    IncrementalLinkage.run(spark, inDir, stateDir, ckpt,
+      entityStateDir = Some(ccDir)).awaitTermination()
+
+    assert(IncrementalCC.ccCommittedBatches(ccDir) == Seq(0L, 1L))
+    val assign = IncrementalCC.loadAssign(spark, ccDir, Long.MaxValue,
+      stringIds = true).persist()
+    val full = graft.operators.ConnectedComponents.run(
+      IncrementalLinkage.loadScoredState(spark, stateDir)
+        .filter(col("is_match"))
+        .select(col("url_a").as("src"), col("url_b").as("dst"))).persist()
+    assert(assign.except(full).count() == 0 && full.except(assign).count() == 0,
+      "maintained entity assignment diverged from full CC on the scored state")
+    // the split actually exercised cross-batch merging: some component
+    // carries urls from both batches
+    val both = assign.join(all.select(col("url").as("id"),
+        pmod(xxhash64(col("url")), lit(2)).as("par")), Seq("id"))
+      .groupBy("component").agg(countDistinct(col("par")).as("np"))
+      .filter(col("np") > 1).count()
+    assert(both > 0, "no component spans the two batches — split too weak")
+    assign.unpersist(); full.unpersist(); all.unpersist()
+    graft.operators.Dedup.releaseCaches(spark)
+  }
+
   test("incremental linkage: compaction commits full state and GC removes superseded deltas") {
     import graft.streaming.IncrementalLinkage
     val inDir = tmpDir("inc-in-c")
