@@ -135,6 +135,48 @@ object IncrementalCC {
         coalesce(col("newComp"), col("component")).as("component"))
       .unionByName(d.fresh)
 
+  /** Retract nodes from the assignment — the takedown path a production
+    * pipeline needs beside the append-only [[step]]. Removing a node can
+    * SPLIT its component, which no label algebra fixes in place, but the
+    * damage is confined: only components CONTAINING a retracted node can
+    * change (an untouched component cannot contain a retracted label either
+    * — its label is its min member). So the recompute runs only on the
+    * affected components' REMAINING edges; every other row passes through
+    * untouched. Survivors of an affected component that lose all their
+    * edges stay in the assignment as their own singleton components (they
+    * were seen; they are merely unlinked now).
+    *
+    * @param assign the maintained (id, component) state (min-member labels)
+    * @param edges  the ACCUMULATED edge relation (e.g. the persisted pair
+    *               deltas of [[IncrementalDedup]], or the linkage scored
+    *               state filtered to matches) — CC state alone cannot split;
+    *               cost is one scan of it plus CC over the affected
+    *               subgraph, never the full graph
+    * @param ids    nodes to retract (column `id`) */
+  def retract(assign: DataFrame, edges: DataFrame, ids: DataFrame): DataFrame = {
+    val rid = ids.select(col("id"))
+    val affected = Dedup.trackPersist(
+      assign.join(rid, Seq("id"), "left_semi")
+        .select(col("component")).distinct())
+    val keep = assign.join(affected, Seq("component"), "left_anti")
+    // members of affected components that survive the retraction
+    val survivors = Dedup.trackPersist(
+      assign.join(affected, Seq("component"), "left_semi")
+        .join(rid, Seq("id"), "left_anti")
+        .select(col("id")))
+    val subEdges = edges
+      .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(survivors.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val recomputed = Dedup.trackPersist(ConnectedComponents.run(subEdges))
+    val singletons = survivors.join(recomputed, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    // the key join moved `component` first — restore (id, component) order
+    keep.select(col("id"), col("component"))
+      .unionByName(recomputed.select(col("id"), col("component")))
+      .unionByName(singletons)
+  }
+
   // ------------------------- persisted state layout -------------------------
   // Per-batch deltas `remap_delta_N` / `fresh_delta_N` (committed = both
   // carry _SUCCESS). UNLIKE the dedup families, CC state does not rebuild by

@@ -339,6 +339,46 @@ object IncrementalDedup {
     NgramDelta(newSets, newPrefix, fresh, tb, np)
   }
 
+  // ------------------------------ retraction -------------------------------
+
+  /** Retract documents from MinHash state — the takedown path beside the
+    * append-only [[step]]. EXACT by purity: every state row (per-doc
+    * sets/bands, per-pair jaccard) is a pure function of its own doc(s), so
+    * removal is a row filter and the result is row-identical to having
+    * accumulated the corpus without the retracted docs
+    * (IncrementalDedupSpec); later steps against the filtered state stay
+    * exact for the same reason. A retracted id may even be re-ingested
+    * later — its rows are gone, so the disjoint-ids precondition is
+    * restored. The CLUSTER view is the one state that can SPLIT on
+    * retraction: rebuild it with [[IncrementalCC.retract]], feeding the
+    * surviving `pairs` as the edge relation. */
+  def retract(state: State, ids: DataFrame): State = State(
+    antiId(state.sets, ids), antiId(state.banded, ids),
+    antiPair(state.pairs, ids))
+
+  /** SimHash twin of [[retract]]. */
+  def simhashRetract(state: SimhashState, ids: DataFrame): SimhashState =
+    SimhashState(antiId(state.banded, ids), antiPair(state.pairs, ids))
+
+  /** Embedding twin of [[retract]]. */
+  def embedRetract(state: EmbedState, ids: DataFrame): EmbedState =
+    EmbedState(antiId(state.vecs, ids), antiId(state.banded, ids),
+      antiPair(state.pairs, ids))
+
+  /** PPJoin twin of [[retract]] (hash-ordered prefixes are per-doc pure, so
+    * the filter argument holds for them too). */
+  def ngramRetract(state: NgramState, ids: DataFrame): NgramState =
+    NgramState(antiId(state.sets, ids), antiId(state.prefix, ids),
+      antiPair(state.pairs, ids))
+
+  private def antiId(df: DataFrame, ids: DataFrame): DataFrame =
+    df.join(ids.select(col("id")), Seq("id"), "left_anti")
+
+  private def antiPair(pairs: DataFrame, ids: DataFrame): DataFrame =
+    pairs.join(ids.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+      .select(pairs.columns.map(col).toIndexedSeq: _*)
+
   // ------------------------- persisted state layout -------------------------
   // Per-batch APPEND-ONLY deltas: `sets_delta_N` / `banded_delta_N` /
   // `pairs_delta_N` parquet dirs (committed = all three carry _SUCCESS);

@@ -147,6 +147,42 @@ class IncrementalCcSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("retract: splits confined to affected components, equals recompute on remaining edges") {
+    // one 10-node path (splits when its middle goes), one pair where the
+    // retraction strands a survivor as a singleton, one component retracted
+    // whole, and one untouched component that must pass through verbatim
+    val edges = (0L until 9L).map(i => (i, i + 1)) ++
+      Seq((50L, 51L), (60L, 61L), (62L, 61L), (70L, 71L), (71L, 72L))
+    val assign = IncrementalCC.step(
+      IncrementalCC.empty(edges.toDF("src", "dst")), edges.toDF("src", "dst")).assign
+    val retracted = Seq(5L, 51L, 70L, 71L, 72L).toDF("id")
+    val out = IncrementalCC.retract(assign, edges.toDF("src", "dst"), retracted)
+      .persist()
+    // expected: full CC on the remaining edges + self rows for surviving
+    // assigned nodes that lost every edge
+    val rset = Set(5L, 51L, 70L, 71L, 72L)
+    val remaining = edges.filter { case (a, b) => !rset(a) && !rset(b) }
+    val cc = ConnectedComponents.run(remaining.toDF("src", "dst")).persist()
+    val expected = cc.unionByName(
+      assign.join(retracted, Seq("id"), "left_anti")
+        .join(cc, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+    assertEqual(out, expected, "retraction")
+    // the path split: 0-4 labeled 0, 6-9 labeled 6; stranded 50 is its own
+    assert(out.filter(col("id") === 9L).head().getLong(1) == 6L)
+    assert(out.filter(col("id") === 4L).head().getLong(1) == 0L)
+    assert(out.filter(col("id") === 50L).head().getLong(1) == 50L)
+    // untouched component kept verbatim (min label 60)
+    assert(out.filter(col("id") === 62L).head().getLong(1) == 60L)
+    // retracted nodes are gone
+    assert(out.join(retracted, Seq("id"), "left_semi").count() == 0)
+    // and the state remains steppable: a new edge re-merges the split halves
+    val after = IncrementalCC.step(out, Seq((4L, 6L)).toDF("src", "dst")).assign
+    assert(after.filter(col("id") === 9L).head().getLong(1) == 0L)
+    out.unpersist(); cc.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
   test("maintains linkage entities: per-batch match-edge deltas fold == full CC") {
     // the full incremental entity-resolution composition: pages arrive in
     // batches → IncrementalLinkage re-scores only touched blocks →

@@ -297,6 +297,52 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.releaseCaches(spark)
   }
 
+  test("retraction: filtered state == accumulation without the retracted docs") {
+    // accumulate everything, retract the planted duplicates — state must be
+    // row-identical to the full operator over the surviving corpus, and a
+    // LATER step against the retracted state must stay exact
+    val survivors = docs.filter(col("doc_id") < 100000L)
+    val planted = docs.filter(col("doc_id") >= 100000L)
+      .select(col("doc_id").as("id"))
+
+    var st = IncrementalDedup.empty(docs, "doc_id", "text")
+    (0 to 1).foreach { r =>
+      st = IncrementalDedup.step(st, docs.filter(col("doc_id") % 2 === r),
+        "doc_id", "text", threshold = 0.5).state
+    }
+    val cut = IncrementalDedup.retract(st, planted)
+    val inc = cut.pairs.persist()
+    val full = Dedup.minhashPairs(survivors, "doc_id", "text", threshold = 0.5).persist()
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "retracted minhash state diverged from full recompute on survivors")
+    assert(cut.sets.join(planted, Seq("id"), "left_semi").count() == 0)
+    inc.unpersist(); full.unpersist()
+
+    // re-ingest the SAME ids after retraction (the precondition is restored):
+    // accumulated pairs equal the full run on the original planted corpus
+    val s2 = IncrementalDedup.step(cut,
+      docs.filter(col("doc_id") >= 100000L), "doc_id", "text", threshold = 0.5)
+    val inc2 = s2.state.pairs.persist()
+    val full2 = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).persist()
+    assert(inc2.except(full2).count() == 0 && full2.except(inc2).count() == 0,
+      "post-retraction step diverged")
+    inc2.unpersist(); full2.unpersist()
+
+    // the ngram twin: same filter argument over per-doc-pure prefixes
+    var nst = IncrementalDedup.ngramEmpty(docs, "doc_id", "text")
+    (0 to 1).foreach { r =>
+      nst = IncrementalDedup.ngramStep(nst, docs.filter(col("doc_id") % 2 === r),
+        "doc_id", "text", threshold = 0.5).state
+    }
+    val nInc = IncrementalDedup.ngramRetract(nst, planted).pairs.persist()
+    val nFull = Dedup.ngramJaccardPairs(survivors, "doc_id", "text",
+      threshold = 0.5).persist()
+    assert(nInc.except(nFull).count() == 0 && nFull.except(nInc).count() == 0,
+      "retracted ngram state diverged from full recompute on survivors")
+    nInc.unpersist(); nFull.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
   test("a small batch touches few buckets and re-pairs only those") {
     // batches 1+2 = the accumulated corpus; batch 3 = 4 fresh planted docs
     val first = docs.filter(col("doc_id") < 100000L)
