@@ -175,8 +175,11 @@ object Smoke {
         .distinct().count()
       println(s"[smoke] incremental_cc: batch2 labels_retired=${c2.labelsRetired} " +
         s"clusters=$nClusters (expect = simhash_clusters)")
-      // takedown path: retract one linked doc; only its component re-forms
-      val victim = shEdges.select(col("src").as("id")).limit(1)
+      // takedown path: retract one linked doc; only its component re-forms.
+      // orderBy before limit: retract's ids frame is evaluated by several
+      // join branches, so it must be deterministic (an unordered limit over
+      // a shuffle could pick different victims per branch)
+      val victim = shEdges.select(col("src").as("id")).orderBy("id").limit(1)
       val afterRetract = IncrementalCC.retract(c2.assign, shEdges, victim)
       println(s"[smoke] incremental_cc_retract: assigned_nodes " +
         s"${c2.assign.count()} -> ${afterRetract.count()}")

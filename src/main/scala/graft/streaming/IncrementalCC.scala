@@ -28,8 +28,10 @@ import graft.operators.{ConnectedComponents, Dedup}
   * the accumulated state row-identical to a full recompute, not merely the
   * same partition under different names.
   *
-  * Per-batch cost at scale: one broadcast-size lookup of the batch's
-  * endpoints against the assignment, a star iteration over the contracted
+  * Per-batch cost at scale: one STREAMED pass of the assignment through a
+  * left-semi endpoint lookup whose build side is the batch's node set (the
+  * assignment is never the build side and never shuffles — see the
+  * build-side note in [[delta]]), a star iteration over the contracted
   * graph (tiny for steady-state batches; gracefully degrades to the full
   * operator's cost when the "batch" IS the corpus, e.g. a bulk load), and
   * one label-substitution join against the assignment keyed on `component`
@@ -91,13 +93,19 @@ object IncrementalCC {
 
     // current component of every batch endpoint; a first-seen node is its
     // own component. Persisted: feeds the contraction (twice) and the
-    // new-node insert.
+    // new-node insert. BUILD-SIDE discipline: a LeftOuter lookup
+    // `nodes.join(prev, "left")` would build/shuffle the ASSIGNMENT (outer
+    // joins build right) — instead the assignment streams once through a
+    // left-semi whose build side is the batch's node set, and the found
+    // O(batch) rows drive everything else.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+    val found = Dedup.trackPersist(prev.join(nodes, Seq("id"), "left_semi"))
     val looked = Dedup.trackPersist(
-      nodes.join(prev.withColumnRenamed("component", "c"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("c"), col("id")).as("comp0"),
-          col("c").isNotNull.as("existed")))
+      found.select(col("id"), col("component").as("comp0"),
+          lit(true).as("existed"))
+        .unionByName(nodes.join(found.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("comp0"), lit(false).as("existed"))))
 
     // the contracted graph: batch edges lifted to component labels; an edge
     // inside one existing component contracts to a dropped self-loop
@@ -108,19 +116,26 @@ object IncrementalCC {
       .filter(col("src") =!= col("dst"))
 
     // star iteration on ≤ 2·|batch| contracted nodes; labels that survive
-    // map to themselves and need no remap row
-    val remap = Dedup.trackPersist(
-      ConnectedComponents.run(compEdges)
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("component"), col("component").as("newComp")))
+    // map to themselves and need no remap row.
+    // localCheckpoint (EAGER) on both O(batch) delta frames, not a mere
+    // persist: the fold's lineage embeds `prev` through looked/found, so an
+    // un-truncated assignment would carry the whole prior fold's plan
+    // multiple times PER STEP — exponential logical-plan growth that OOMs
+    // plan-string generation after a handful of batches (caught by the
+    // 5-seed fold test). Checkpointed, each step adds one join + one union.
+    val remap = ConnectedComponents.run(compEdges)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("component"), col("component").as("newComp"))
+      .localCheckpoint()
 
     val fresh = looked.filter(!col("existed"))
       .join(remap.withColumnRenamed("component", "comp0"), Seq("comp0"), "left")
       .select(col("id"),
         coalesce(col("newComp"), col("comp0")).as("component"))
+      .localCheckpoint()
 
-    // observability counts folded into one action (materializes the
-    // persisted remap/looked frames)
+    // observability counts folded into one action over the checkpointed
+    // (already materialized) delta frames
     val r = remap.agg(count(lit(1)).as("m"))
       .crossJoin(fresh.agg(count(lit(1)).as("n"))).head()
     Delta(remap, fresh, r.getLong(0), r.getLong(1))
@@ -152,18 +167,23 @@ object IncrementalCC {
     *               state filtered to matches) — CC state alone cannot split;
     *               cost is one scan of it plus CC over the affected
     *               subgraph, never the full graph
-    * @param ids    nodes to retract (column `id`) */
+    * @param ids    nodes to retract (column `id`). Evaluated by SEVERAL join
+    *               branches (affected probe, survivor filter) — pass a
+    *               deterministic or persisted frame (the saltedSelfJoin
+    *               precondition); a nondeterministic sample could retract
+    *               different ids in different branches */
   def retract(assign: DataFrame, edges: DataFrame, ids: DataFrame): DataFrame = {
     val rid = ids.select(col("id"))
-    val affected = Dedup.trackPersist(
-      assign.join(rid, Seq("id"), "left_semi")
-        .select(col("component")).distinct())
+    // localCheckpoint (eager) the two small driver frames: the result embeds
+    // `assign` once (in keep) instead of four times — the same
+    // exponential-lineage hazard the step's delta frames guard against
+    val affected = assign.join(rid, Seq("id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint()
     val keep = assign.join(affected, Seq("component"), "left_anti")
     // members of affected components that survive the retraction
-    val survivors = Dedup.trackPersist(
-      assign.join(affected, Seq("component"), "left_semi")
-        .join(rid, Seq("id"), "left_anti")
-        .select(col("id")))
+    val survivors = assign.join(affected, Seq("component"), "left_semi")
+      .join(rid, Seq("id"), "left_anti")
+      .select(col("id")).localCheckpoint()
     val subEdges = edges
       .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
       .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
@@ -256,7 +276,10 @@ object IncrementalCC {
       stateDir: String, batchId: Long, edges: DataFrame,
       stringIds: Boolean, compactEvery: Int): Unit = {
     gcSuperseded(stateDir, batchId)
-    val prev = loadAssign(sp, stateDir, batchId, stringIds)
+    // pinned: the delta's endpoint lookup AND a compaction batch's folded
+    // write both read the assignment fold (base parquet + up to
+    // compactEvery-1 substitution joins) — unpersisted it would execute twice
+    val prev = Dedup.trackPersist(loadAssign(sp, stateDir, batchId, stringIds))
     val d = delta(prev, edges)
     d.remap.write.mode("overwrite").parquet(s"$stateDir/$RemapP$batchId")
     d.fresh.write.mode("overwrite").parquet(s"$stateDir/$FreshP$batchId")

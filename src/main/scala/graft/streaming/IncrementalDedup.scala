@@ -16,7 +16,9 @@ import graft.plans.StateFs
   * to banded LSH state): per-batch COMPUTE is bounded by Σ(touched bucket)²
   * — via [[Blocking.saltedSelfJoin]] each task further capped at
   * O(maxBucket²) — independent of the accumulated corpus size; untouched
-  * buckets cost one left-semi key probe, no payload ever re-shuffles.
+  * buckets cost one left-semi key probe, no payload ever re-shuffles, and
+  * verification explodes only the CANDIDATES' own per-doc state (a second
+  * left-semi, build side = candidate ids) — never the accumulated corpus.
   * Unlike linkage blocks (re-SCORED on every touch, needing a last-touch
   * merge), dedup state is APPEND-ONLY: documents are immutable, so a pair's
   * jaccard never changes and each unordered pair is emitted exactly once —
@@ -108,16 +110,24 @@ object IncrementalDedup {
     val newBanded = Dedup.trackPersist(
       Dedup.minhashBanded(newSets, numHashes, bands))
 
-    val (touched, affected) = touchedAffected(prev.banded, newBanded)
-    val cand0 = Blocking.saltedSelfJoin(affected, Seq("band", "bucket"), "id",
-        Seq.empty, maxBucket)
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    val cand = keepPairsWithNewMember(cand0, newSets.select("id"))
-      .select("id_a", "id_b")
+    val (touched, rawCand) = minhashCandidates(prev, newSets, newBanded, maxBucket)
+    // localCheckpoint (EAGER), not a mere persist: verification references
+    // the candidate set four times and the restricted state five times, and
+    // each restricted-state copy nests the candidate tree again — persist
+    // caches EXECUTION but the ANALYZED plan still multiplies the salted
+    // join tree ~14x and Catalyst re-optimizes all of it (measured 1.2 s ->
+    // 8.9 s per step before truncation). Both frames are O(candidates).
+    val cand = rawCand.localCheckpoint()
 
-    val allSets = prev.sets.unionByName(newSets)
-    val fresh = Dedup.trackPersist(Dedup.verifiedJaccard(cand, allSets)
+    // verification state restricted to the candidates' OWN documents (one
+    // streamed left-semi over the accumulated sets, build side = candidate
+    // ids): without it every batch would explode the whole corpus's shingle
+    // arrays, making per-batch verification O(corpus) instead of
+    // O(candidates)
+    val verifySets = prev.sets.unionByName(newSets)
+      .join(candidateIds(cand), Seq("id"), "left_semi").localCheckpoint()
+    val fresh = Dedup.trackPersist(
+      Dedup.verifiedJaccard(cand, verifySets)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
 
@@ -142,6 +152,46 @@ object IncrementalDedup {
         .unionByName(newBanded))
     (touched, affected)
   }
+
+  /** The MinHash batch's touched buckets and UN-truncated candidate frame —
+    * the seam [[delta]] checkpoints and PlanSpec inspects (the checkpoint
+    * hides the banded join's plan from the delta's outputs). */
+  private[graft] def minhashCandidates(prev: State, newSets: DataFrame,
+      newBanded: DataFrame, maxBucket: Int): (DataFrame, DataFrame) = {
+    val (touched, affected) = touchedAffected(prev.banded, newBanded)
+    val cand0 = Blocking.saltedSelfJoin(affected, Seq("band", "bucket"), "id",
+        Seq.empty, maxBucket)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    (touched, keepPairsWithNewMember(cand0, newSets.select("id"))
+      .select("id_a", "id_b"))
+  }
+
+  /** Embedding twin of [[minhashCandidates]] (PlanSpec seam). */
+  private[graft] def embedCandidatesOf(prev: EmbedState, newSigs: DataFrame,
+      newBanded: DataFrame, maxBucket: Int): (DataFrame, DataFrame) = {
+    val (touched, affected) = touchedAffected(prev.banded, newBanded)
+    (touched, keepPairsWithNewMember(
+      Dedup.embedCandidates(affected, maxBucket), newSigs.select("id")))
+  }
+
+  /** PPJoin twin of [[minhashCandidates]] (PlanSpec seam). */
+  private[graft] def ngramCandidates(prev: NgramState, newSets: DataFrame,
+      newPrefix: DataFrame, threshold: Double,
+      maxBucket: Int): (DataFrame, DataFrame) = {
+    val (touched, affected) = touchedAffected(prev.prefix, newPrefix,
+      keys = Seq("shingle"))
+    (touched, keepPairsWithNewMember(
+      Dedup.ppjoinCandidates(affected, threshold, maxBucket),
+      newSets.select("id")))
+  }
+
+  /** The candidates' own document ids — the build side of the left-semi
+    * that keeps per-batch verification O(candidates) instead of exploding
+    * the whole accumulated per-doc state. */
+  private def candidateIds(cand: DataFrame): DataFrame =
+    cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
 
   /** Keep pairs with ≥1 batch member: an old×old pair inside a touched
     * bucket was already emitted by the batch that brought its later doc
@@ -260,13 +310,18 @@ object IncrementalDedup {
     val newSigs = Dedup.trackPersist(Dedup.embedSigs(batch, idCol, vecCol, planes))
     val newVecs = newSigs.select("id", "vec")
     val newBanded = Dedup.trackPersist(Dedup.embedBanded(newSigs, planes, bands))
-    val (touched, affected) = touchedAffected(prev.banded, newBanded)
+    val (touched, rawCand) = embedCandidatesOf(prev, newSigs, newBanded, maxBucket)
     // filter to ≥1 new member BEFORE re-attaching vectors: old×old pairs in
-    // touched buckets never pay the cosine
-    val cand = keepPairsWithNewMember(
-      Dedup.embedCandidates(affected, maxBucket), newSigs.select("id"))
+    // touched buckets never pay the cosine. Checkpoint (plan truncation) and
+    // restrict the vector state to the candidates' own ids (see the MinHash
+    // delta) — exact-cosine verification touches O(candidates) vectors, not
+    // the accumulated corpus.
+    val cand = rawCand.localCheckpoint()
+    val verifyVecs = prev.vecs.unionByName(newVecs)
+      .join(candidateIds(cand.select("id_a", "id_b")), Seq("id"), "left_semi")
+      .localCheckpoint()
     val fresh = Dedup.trackPersist(
-      Dedup.embedVerify(cand, prev.vecs.unionByName(newVecs), threshold))
+      Dedup.embedVerify(cand, verifyVecs, threshold))
     val (tb, np) = stats(touched, fresh)
     EmbedDelta(newVecs, newBanded, fresh, tb, np)
   }
@@ -326,13 +381,16 @@ object IncrementalDedup {
       Dedup.shingleSets(batch, idCol, textCol, n).filter(col("nsh") > 0))
     val newPrefix = Dedup.trackPersist(
       Dedup.hashOrderedPrefix(newSets, threshold))
-    val (touched, affected) = touchedAffected(prev.prefix, newPrefix,
-      keys = Seq("shingle"))
-    val cand = keepPairsWithNewMember(
-      Dedup.ppjoinCandidates(affected, threshold, maxBucket),
-      newSets.select("id"))
+    val (touched, rawCand) = ngramCandidates(prev, newSets, newPrefix,
+      threshold, maxBucket)
+    // checkpointed (plan truncation) + verification state restricted to the
+    // candidates' own ids (see the MinHash delta): per-batch verification
+    // explodes O(candidates) shingle sets, never the accumulated corpus
+    val cand = rawCand.localCheckpoint()
+    val verifySets = prev.sets.unionByName(newSets)
+      .join(candidateIds(cand), Seq("id"), "left_semi").localCheckpoint()
     val fresh = Dedup.trackPersist(
-      Dedup.verifiedJaccard(cand, prev.sets.unionByName(newSets))
+      Dedup.verifiedJaccard(cand, verifySets)
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")))
     val (tb, np) = stats(touched, fresh)

@@ -276,9 +276,16 @@ object IncrementalLinkage {
         entityStateDir.foreach { ccDir =>
           // the CC fold sees only this batch's re-scored matches: old
           // matches of untouched blocks are already in the assignment, and
-          // a touched block's re-emitted matches are idempotent no-ops
+          // a touched block's re-emitted matches are idempotent no-ops.
+          // Read the edges back from the scored delta JUST written — the
+          // fold evaluates its edge input several times, and re-running the
+          // touched-block re-scoring per evaluation would multiply the hot
+          // path. (On a compaction batch the dir holds the merged state, so
+          // the fold sees already-folded old matches too — idempotent
+          // no-ops, costing one larger contraction on those batches only.)
           IncrementalCC.persistCcStep(sp, ccDir, batchId,
-            d.rescored.filter(col("is_match"))
+            sp.read.parquet(s"$stateDir/scored_delta_$batchId")
+              .filter(col("is_match"))
               .select(col("url_a").as("src"), col("url_b").as("dst")),
             stringIds = true, compactEvery)
           graft.operators.Dedup.releaseCaches(sp)

@@ -136,11 +136,14 @@ class IncrementalCcSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$inDir/edges_x.parquet"))
     graft.streaming.IncrementalCC.run(spark, inDir, stateDir, ckpt,
       compactEvery = 2).awaitTermination()
-    val base = graft.streaming.IncrementalCC.ccCompactions(stateDir).max
-    assert(graft.streaming.IncrementalCC.ccCommittedBatches(stateDir)
-      .forall(_ > base) ||
-      graft.streaming.IncrementalCC.ccCompactions(stateDir).size > 1,
-      "superseded deltas not GC'd")
+    // run 1 = batch 0 (both files, one AvailableNow micro-batch), run 2 =
+    // batch 1 (compacts at base 1, folding batches 0-1 into assign_1), run 3
+    // = batch 2 (GCs the superseded deltas 0 and 1 at its start). Exact
+    // post-GC state: ONLY batch 2's deltas remain committed.
+    assert(graft.streaming.IncrementalCC.ccCompactions(stateDir) == Seq(1L),
+      "expected exactly the run-2 compaction marker")
+    assert(graft.streaming.IncrementalCC.ccCommittedBatches(stateDir) == Seq(2L),
+      "superseded deltas (batches 0, 1) not GC'd, or batch 2 missing")
     val assign2 = graft.streaming.IncrementalCC.loadAssign(spark, stateDir,
       Long.MaxValue)
     assertEqual(assign2, assignOf(edges ++ extra), "post-GC CC state")
@@ -210,7 +213,8 @@ class IncrementalCcSpec extends AnyFunSuite {
       scored = scored.join(d.changed, Seq("block_key"), "left_anti")
         .unionByName(dP)
       assign = IncrementalCC.step(assign, dP.filter(col("is_match"))
-        .select(col("url_a").as("src"), col("url_b").as("dst"))).assign
+        .select(col("url_a").as("src"), col("url_b").as("dst"))
+        .localCheckpoint()).assign
     }
     val full = ConnectedComponents.run(scored.filter(col("is_match"))
       .select(col("url_a").as("src"), col("url_b").as("dst")))
@@ -236,8 +240,12 @@ class IncrementalCcSpec extends AnyFunSuite {
       val d = IncrementalDedup.delta(dst, batch, "doc_id", "text", threshold = 0.5)
       dst = IncrementalDedup.State(dst.sets.unionByName(d.sets),
         dst.banded.unionByName(d.banded), dst.pairs.unionByName(d.pairs))
+      // truncate the dedup-delta lineage before the fold, as the production
+      // composition does by reading the persisted pair delta back from
+      // parquet — folding the raw plan multiplies it through the CC step
       assign = IncrementalCC.step(assign,
-        d.pairs.select(col("id_a").as("src"), col("id_b").as("dst"))).assign
+        d.pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .localCheckpoint()).assign
     }
     // full-shape twin: singletons cluster with themselves (the *Clusters
     // operators' left-join/coalesce tail)

@@ -191,9 +191,16 @@ class PlanSpec extends AnyFunSuite {
     }
     val a = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
     val b = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+    // the shipped deltas localCheckpoint their candidate frames (plan
+    // truncation — see the IncrementalDedup scaladoc), which REPLACES the
+    // banded join's tree with a LogicalRDD leaf in the delta's outputs; the
+    // assertions therefore inspect the UN-truncated candidate seams the
+    // deltas checkpoint (same plan, pre-truncation)
     val mh = IncrementalDedup.step(
       IncrementalDedup.empty(docs, "doc_id", "text"), a, "doc_id", "text")
-    val mhd = IncrementalDedup.delta(mh.state, b, "doc_id", "text").pairs
+    val mhSets = Dedup.shingleSets(b, "doc_id", "text", 3)
+    val mhd = IncrementalDedup.minhashCandidates(mh.state, mhSets,
+      Dedup.minhashBanded(mhSets, 64, 16), 1000)._2
     val sh = IncrementalDedup.simhashStep(
       IncrementalDedup.simhashEmpty(docs, "doc_id", "text"), a, "doc_id", "text")
     val shd = IncrementalDedup.simhashDelta(sh.state, b, "doc_id", "text").pairs
@@ -201,10 +208,15 @@ class PlanSpec extends AnyFunSuite {
     val eb = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 =!= 0)
     val em = IncrementalDedup.embedStep(
       IncrementalDedup.embedEmpty(emb, "vec_id", "embedding"), ea, "vec_id", "embedding")
-    val emd = IncrementalDedup.embedDelta(em.state, eb, "vec_id", "embedding").pairs
+    val emSigs = Dedup.embedSigs(eb, "vec_id", "embedding", 24)
+    val emd = IncrementalDedup.embedCandidatesOf(em.state, emSigs,
+      Dedup.embedBanded(emSigs, 24, 4), 1000)._2
     val ng = IncrementalDedup.ngramStep(
       IncrementalDedup.ngramEmpty(docs, "doc_id", "text"), a, "doc_id", "text")
-    val ngd = IncrementalDedup.ngramDelta(ng.state, b, "doc_id", "text").pairs
+    val ngSets = Dedup.shingleSets(b, "doc_id", "text", 3)
+      .filter(org.apache.spark.sql.functions.col("nsh") > 0)
+    val ngd = IncrementalDedup.ngramCandidates(ng.state, ngSets,
+      Dedup.hashOrderedPrefix(ngSets, 0.5), 0.5, 1000)._2
     // the delta frames are persisted by the operator, which would make the
     // optimizer substitute InMemoryRelation and HIDE the join tree from the
     // assertion — release the caches first (queryExecution is lazy; nothing
