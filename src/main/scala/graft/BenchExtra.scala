@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round side benchmark (guide §1.4): isolates sub-phases of the
+  * expensive catalog queries with the noop sink so the seconds can be
+  * attributed to operators, not the sink. NOT part of the frozen Bench
+  * contract — numbers here feed OPTIMIZATION_r07.md only.
+  *
+  * Usage: runMain graft.BenchExtra [phase-prefix]
+  */
+object BenchExtra {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val prefix = if (args.nonEmpty) args(0) else ""
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "3").toInt
+    val spark = Sessions.local("graft-bench-extra", cpus)
+    import spark.implicits._
+
+    // per-job timing listener: attributes wall time to jobs inside a phase
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    if (sys.env.getOrElse("SPARK_GRAFT_EXTRA_JOBLOG", "0") == "1")
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(js.jobId, (System.nanoTime(),
+            Option(js.properties.getProperty("spark.job.description")).getOrElse("?")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobStart.remove(je.jobId)
+          if (st != null) {
+            val d = (System.nanoTime() - st._1) / 1e9
+            if (d > 0.02) println(f"  JOB ${je.jobId}%4d ${d}%7.3f s  ${st._2}")
+          }
+        }
+      })
+
+    def t(name: String)(body: => Unit): Unit = {
+      if (prefix.isEmpty || name.startsWith(prefix)) {
+        spark.sparkContext.setJobDescription(name)
+        val ts = (1 to reps).map { _ =>
+          graft.operators.Dedup.releaseCaches(spark)
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        }
+        graft.operators.Dedup.releaseCaches(spark)
+        println(f"EXTRA $name%-42s ${ts.map(x => f"$x%.3f").mkString(" ")} min=${ts.min}%.3f")
+        spark.sparkContext.setJobDescription(null)
+      }
+    }
+
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // ---- text family ----
+    t("lang_id.full") { noop(SparkEntry.queries("q_lang_id")(spark, sfDir)) }
+    t("quality.full") { noop(SparkEntry.queries("q_quality")(spark, sfDir)) }
+    t("token_count.full") { noop(SparkEntry.queries("q_token_count")(spark, sfDir)) }
+    t("dedup_exact.full") { noop(SparkEntry.queries("q_dedup_exact")(spark, sfDir)) }
+    t("dedup_bow.full") { noop(SparkEntry.queries("q_dedup_bow")(spark, sfDir)) }
+
+    // ---- ngram jaccard phases ----
+    t("ngram.sets") {
+      noop(graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+        .filter(col("nsh") > 0))
+    }
+    t("ngram.full") { noop(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)) }
+
+    // ---- minhash phases ----
+    t("minhash.sets") {
+      noop(graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3))
+    }
+    t("minhash.banded") {
+      val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+      noop(graft.operators.Dedup.minhashBanded(sets, 64, 16))
+    }
+    t("minhash.full") { noop(SparkEntry.queries("q_minhash_pairs")(spark, sfDir)) }
+
+    // ---- simhash phases ----
+    t("simhash.banded") {
+      noop(graft.operators.Dedup.simhashBanded(docs, "doc_id", "text"))
+    }
+    t("simhash.full") { noop(SparkEntry.queries("q_simhash_pairs")(spark, sfDir)) }
+
+    // ---- pipeline family (shared caches warm: build them once first) ----
+    Queries.preparedFor(spark, sfDir).count()
+    Queries.scoredFor(spark, sfDir).count()
+    t("entities.cc_only") {
+      val matched = Queries.scoredFor(spark, sfDir).filter(col("is_match"))
+      noop(graft.operators.ConnectedComponents.runGrouped(
+        matched.select(col("block_key"), col("url_a").as("src"), col("url_b").as("dst")),
+        "block_key"))
+    }
+    t("entities.join_no_parse") {
+      val prepared = Queries.preparedFor(spark, sfDir)
+      val matched = Queries.scoredFor(spark, sfDir).filter(col("is_match"))
+      val comps = graft.operators.ConnectedComponents.runGrouped(
+        matched.select(col("block_key"), col("url_a").as("src"), col("url_b").as("dst")),
+        "block_key")
+      noop(prepared
+        .join(comps.withColumnRenamed("id", "url"), Seq("url"), "left")
+        .withColumn("entity_id", coalesce(col("component"), col("url")))
+        .select("url", "extracted", "entity_id"))
+    }
+    t("entities.parse_only") {
+      noop(graft.operators.StaticParser.parse(
+        Queries.preparedFor(spark, sfDir).select("url", "extracted"), "extracted",
+        graft.operators.StaticParser.broadcastIndex(spark)))
+    }
+    t("entities.full") { noop(SparkEntry.queries("q_entities")(spark, sfDir)) }
+
+    t("parse_full_gaz.build_index_driver") {
+      val idx = graft.sources.Gazetteer.buildIndex(graft.sources.Gazetteer.rowsFull)
+      val b = spark.sparkContext.broadcast(idx)
+      b.destroy()
+    }
+    t("parse_full_gaz.full") { noop(SparkEntry.queries("q_parse_full_gaz")(spark, sfDir)) }
+
+    t("linkage_f1.full") { noop(SparkEntry.queries("q_linkage_f1")(spark, sfDir)) }
+    t("linkage_f1.single_pass") {
+      val sc = Queries.scoredFor(spark, sfDir)
+      val j = sc.select(col("is_match"),
+        (graft.sources.Pages.goldEntityId(col("url_a")) ===
+          graft.sources.Pages.goldEntityId(col("url_b"))).as("is_pos"))
+      noop(j.agg(
+        sum(when(col("is_pos") && col("is_match"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_pos") && col("is_match"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("is_pos") && !col("is_match"), 1L).otherwise(0L)).as("fn"))
+        .withColumn("precision", round(coalesce(col("tp") / (col("tp") + col("fp")), lit(0.0)), 6))
+        .withColumn("recall", round(coalesce(col("tp") / (col("tp") + col("fn")), lit(0.0)), 6))
+        .withColumn("f1", round(coalesce(
+          lit(2) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), lit(0.0)), 6)))
+    }
+
+    // ---- orderBy range-sampling double-execution probes ----
+    t("entities.full_no_sort") {
+      noop(graft.operators.Linkage.entitiesFrom(
+        Queries.preparedFor(spark, sfDir), Queries.scoredFor(spark, sfDir),
+        graft.operators.StaticParser.broadcastIndex(spark)))
+    }
+    t("entities.full_ckpt_sort") {
+      val out = graft.operators.Linkage.entitiesFrom(
+        Queries.preparedFor(spark, sfDir), Queries.scoredFor(spark, sfDir),
+        graft.operators.StaticParser.broadcastIndex(spark))
+      noop(graft.operators.Dedup.trackPersist(out).orderBy("url"))
+    }
+    t("simhash.full_no_sort") {
+      noop(graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))
+    }
+    t("simhash.full_ckpt_sort") {
+      val p = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      noop(graft.operators.Dedup.trackPersist(p).orderBy("id_a", "id_b"))
+    }
+    t("ngram.full_no_sort") {
+      noop(graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+    }
+    t("minhash.full_no_sort") {
+      noop(graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+    }
+    t("parse_full_gaz.prebuilt_index") {
+      val b = graft.operators.StaticParser.broadcastIndex(spark, graft.sources.Gazetteer.rowsFull)
+      noop(graft.operators.StaticParser.parse(
+        Queries.preparedFor(spark, sfDir).select("url", "extracted"), "extracted", b)
+        .select("url", "province", "district", "neighbourhood").orderBy("url"))
+    }
+
+    t("agg_lineitem.full") { noop(SparkEntry.queries("q_agg_lineitem")(spark, sfDir)) }
+    t("agg_lineitem.split1m") {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+      try noop(SparkEntry.queries("q_agg_lineitem")(spark, sfDir))
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+    }
+    t("agg_lineitem.no_distinct") {
+      noop(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          round(avg("l_discount"), 4).as("avg_disc")))
+    }
+    t("scored_pairs.full") { noop(SparkEntry.queries("q_scored_pairs")(spark, sfDir)) }
+    t("topk_window.full") { noop(SparkEntry.queries("q_topk_window")(spark, sfDir)) }
+
+    spark.stop()
+  }
+}

@@ -73,6 +73,43 @@ object Queries {
     }
   }
 
+  /** Presentation sort over an expensive subtree: materialize the rows once
+    * (session-tracked persist — freed by `Dedup.releaseCaches`, which Bench
+    * and Verify call after every query) so the range partitioner's sampling
+    * pass does not re-execute the whole child. A global `orderBy` samples its
+    * child RDD to pick range bounds and then runs it again for the real
+    * shuffle; for children that end in joins/kernels past the last exchange
+    * that is a full second execution — measured 2× on q_entities
+    * (4.1 s → 1.7 s, OPTIMIZATION_r07.md). Results are unchanged: the sort
+    * itself is the query's deterministic presentation order. */
+  private def sortedOnce(df: DataFrame, cols: String*): DataFrame =
+    operators.Dedup.trackPersist(df).orderBy(cols.map(col): _*)
+
+  /** One-time bucketed-layout write for q_bucketed_join, memoized per
+    * (session, dir): returns the (orders, lineitem) catalog table names.
+    * Names and paths derive from the sanitized dir string, so distinct data
+    * dirs can never collide (the former `math.abs(dir.hashCode)` could). */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
+
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) = {
+    bucketedCache.keys.filter(_._1.sparkContext.isStopped).foreach(bucketedCache.remove)
+    bucketedCache.getOrElseUpdate((s, dir), {
+      implicit val sp: SparkSession = s
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+      val ot = s"g_orders_b_$tag"
+      val lt = s"g_lineitem_b_$tag"
+      graft.plans.Bucketed.writeBucketed(
+        t(dir, "orders").select("o_orderkey", "o_custkey"),
+        ot, s"$tmp/orders", 8, Seq("o_orderkey"))
+      graft.plans.Bucketed.writeBucketed(
+        t(dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+        lt, s"$tmp/lineitem", 8, Seq("l_orderkey"))
+      (ot, lt)
+    })
+  }
+
   /** Fixed classifier fixture: one address per class A–J (all single-spaced,
     * so the oracle's space-anchored Turkish-keyword patterns are exact).
     * Declared BEFORE impls/oracles — both capture it at object init. */
@@ -109,9 +146,8 @@ object Queries {
       // full Turkish canon chain over synthesized addresses (keyed by page id;
       // no DuckDB oracle — lookbehind/lookahead regexes are not RE2-able)
       implicit val sp = s
-      Pages.synthesize(s, math.min(pagesFor(dir), 6000L)).toDF()
-        .select(col("url"), TrText.normalizeFull(col("text")).as("norm"))
-        .orderBy("url")
+      sortedOnce(Pages.synthesize(s, math.min(pagesFor(dir), 6000L)).toDF()
+        .select(col("url"), TrText.normalizeFull(col("text")).as("norm")), "url")
     }),
 
     // --- string similarity (scoring family) ---
@@ -193,16 +229,15 @@ object Queries {
       // Exchange (PlanSpec asserts it; only the final presentation ORDER BY
       // shuffles). The 100-TB posture for every repeated equi-join in the
       // pipeline — see plans/Bucketed.scala. Results are layout-invariant,
-      // hence the plain-SQL oracle.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${math.abs(dir.hashCode)}"
-      graft.plans.Bucketed.writeBucketed(
-        t(dir, "orders").select("o_orderkey", "o_custkey"),
-        s"g_orders_b", s"$tmp/orders", 8, Seq("o_orderkey"))
-      graft.plans.Bucketed.writeBucketed(
-        t(dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
-        s"g_lineitem_b", s"$tmp/lineitem", 8, Seq("l_orderkey"))
-      s.table("g_lineitem_b")
-        .join(s.table("g_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      // hence the plain-SQL oracle. The one-time layout write is memoized per
+      // (session, dir) — paying the bucket shuffle ONCE is the operator's
+      // entire point, and re-writing both tables per invocation made a
+      // catalog query carry a write side effect (r6 verdict item 4). Table
+      // names/paths derive from the sanitized dir (collision-free across
+      // data dirs — r6 ADVICE: hashCode collisions silently shared a path).
+      val (ordersTbl, lineitemTbl) = bucketedFor(s, dir)
+      s.table(lineitemTbl)
+        .join(s.table(ordersTbl), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey").agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_price"),
@@ -261,11 +296,11 @@ object Queries {
     }),
     "q_tokens_offsets" -> ((s, dir) => {
       implicit val sp = s
-      t(dir, "documents").select(col("doc_id"),
+      sortedOnce(t(dir, "documents").select(col("doc_id"),
         posexplode(TextFunctions.tokensWithOffsets(col("text"))))
         .select(col("doc_id"), col("pos"),
-          col("col.tok").as("tok"), col("col.start").as("start"), col("col.end").as("end"))
-        .orderBy("doc_id", "pos")
+          col("col.tok").as("tok"), col("col.start").as("start"), col("col.end").as("end")),
+        "doc_id", "pos")
     }),
 
     // --- dedup family over documents ---
@@ -279,18 +314,18 @@ object Queries {
     }),
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp = s
-      Dedup.minhashPairs(t(dir, "documents"), "doc_id", "text", threshold = 0.5)
-        .orderBy("id_a", "id_b")
+      sortedOnce(Dedup.minhashPairs(t(dir, "documents"), "doc_id", "text",
+        threshold = 0.5), "id_a", "id_b")
     }),
     "q_simhash_pairs" -> ((s, dir) => {
       implicit val sp = s
-      Dedup.simhashPairs(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")
+      sortedOnce(Dedup.simhashPairs(t(dir, "documents"), "doc_id", "text",
+        maxHamming = 3), "id_a", "id_b")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       implicit val sp = s
-      Dedup.ngramJaccardPairs(t(dir, "documents"), "doc_id", "text", threshold = 0.8)
-        .orderBy("id_a", "id_b")
+      sortedOnce(Dedup.ngramJaccardPairs(t(dir, "documents"), "doc_id", "text",
+        threshold = 0.8), "id_a", "id_b")
     }),
     "q_embed_dedup" -> ((s, dir) => {
       implicit val sp = s
@@ -305,9 +340,8 @@ object Queries {
       // — always found, every band signature equal — and the natural corpus
       // has zero pairs within 0.985 of the 0.99 threshold, measured, so LSH
       // recall is exactly 1 on this input and output = the SQL's answer)
-      Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.99)
-        .withColumn("cos", round(col("cos"), 2))
-        .orderBy("id_a", "id_b")
+      sortedOnce(Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.99)
+        .withColumn("cos", round(col("cos"), 2)), "id_a", "id_b")
     }),
 
     // --- similarity search over embeddings ---
@@ -347,15 +381,17 @@ object Queries {
     "q_pages_extract" -> ((s, dir) =>
       preparedFor(s, dir).select("url", "extracted").orderBy("url")),
     "q_pages_parse" -> ((s, dir) => {
-      StaticParser.parse(preparedFor(s, dir).select("url", "extracted"), "extracted",
+      sortedOnce(
+        StaticParser.parse(preparedFor(s, dir).select("url", "extracted"), "extracted",
           StaticParser.broadcastIndex(s))
-        .select("url", "province", "district", "neighbourhood").orderBy("url")
+          .select("url", "province", "district", "neighbourhood"), "url")
     }),
     "q_parse_full_gaz" -> ((s, dir) => {
       // hierarchical parse against the reference-scale (73,305-row) gazetteer
-      StaticParser.parse(preparedFor(s, dir).select("url", "extracted"), "extracted",
+      sortedOnce(
+        StaticParser.parse(preparedFor(s, dir).select("url", "extracted"), "extracted",
           StaticParser.broadcastIndex(s, Gazetteer.rowsFull))
-        .select("url", "province", "district", "neighbourhood").orderBy("url")
+          .select("url", "province", "district", "neighbourhood"), "url")
     }),
     "q_block_stats" -> ((s, dir) =>
       preparedFor(s, dir)
@@ -365,8 +401,8 @@ object Queries {
         .select(col("url_a"), col("url_b"), round(col("score"), 4).as("score"),
           col("is_match")).orderBy("url_a", "url_b")),
     "q_entities" -> ((s, dir) =>
-      Linkage.entitiesFrom(preparedFor(s, dir), scoredFor(s, dir),
-        StaticParser.broadcastIndex(s)).orderBy("url")),
+      sortedOnce(Linkage.entitiesFrom(preparedFor(s, dir), scoredFor(s, dir),
+        StaticParser.broadcastIndex(s)), "url")),
 
     // --- NER output surface (E2-E8), BIO corpus (S1-S9), goldset (Q1-Q3),
     //     eval (V2) — rows-only ---
@@ -394,8 +430,8 @@ object Queries {
       GoldEval.evaluateByCorpus(s)),
     "q_minhash_clusters" -> ((s, dir) => {
       implicit val sp = s
-      Dedup.minhashClusters(t(dir, "documents"), "doc_id", "text", threshold = 0.5)
-        .orderBy("id")
+      sortedOnce(Dedup.minhashClusters(t(dir, "documents"), "doc_id", "text",
+        threshold = 0.5), "id")
     }),
     "q_goldset_classes" -> ((s, dir) => {
       val ex = Linkage.extract(Pages.synthesize(s, pagesFor(dir)).toDF())
@@ -507,10 +543,14 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
     "q_linkage_f1" -> ((s, dir) => {
+      // The gold label is a pure function of the pair's OWN urls, so labeling
+      // is a projection of the scored relation — one cache scan + one
+      // aggregate. The former pred-join-gold formulation scanned the cache
+      // twice and paid a (url_a, url_b) shuffle join for an identity attach
+      // (row-identical by construction; LinkageSpec pins the equality).
       val sc = scoredFor(s, dir)
-      val gold = sc.select(col("url_a"), col("url_b"),
-        (Pages.goldEntityId(col("url_a")) === Pages.goldEntityId(col("url_b"))).as("is_pos"))
-      Eval.pairwiseMetrics(sc.select("url_a", "url_b", "is_match"), gold)
+      Eval.pairwiseMetricsLabeled(sc.select(col("is_match"),
+        (Pages.goldEntityId(col("url_a")) === Pages.goldEntityId(col("url_b"))).as("is_pos")))
     }),
 
     // --- multimodal (rows-only) ---

@@ -38,12 +38,20 @@ object TextFunctions {
       acc => acc.getField("out"))
   }
 
-  /** Token count: whitespace tokens. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count: whitespace tokens — native one-scan expression
+    * ([[TokenCountExpr]]; the `size(filter(split))` twin runs interpreted). */
+  def tokenCount(c: Column): Column = TextNativeUtil.tokenCountCol(c)
+
+  /** The HOF formulation [[tokenCount]] replaced — equality witness only. */
+  private[graft] def tokenCountColumns(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword-unit count: alpha runs + digit runs + single other
-    * non-space chars (a cheap, deterministic proxy for tokenizer load). */
-  def subwordCount(c: Column): Column =
+    * non-space chars (a cheap, deterministic proxy for tokenizer load) —
+    * native scan ([[SubwordCountExpr]]), same count as the regex twin. */
+  def subwordCount(c: Column): Column = TextNativeUtil.subwordCountCol(c)
+
+  /** The regexp formulation [[subwordCount]] replaced — equality witness only. */
+  private[graft] def subwordCountColumns(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Tiny English stopword list for the language-ID heuristic. */
@@ -56,25 +64,58 @@ object TextFunctions {
     "ve", "bir", "bu", "da", "de", "ile", "mah", "mahallesi", "cadde", "sokak",
     "no", "kat", "daire", "adres", "icin", "gibi")
 
-  private def stopRatio(c: Column, words: Seq[String]): Column = {
+  /** Interpreted-HOF stopword ratio — equality witness for the native
+    * [[StopTokenStats]] path ([[langIdColumns]]/[[enStopwordRatioColumns]]);
+    * never call it in a pipeline. */
+  private[graft] def stopRatioColumns(c: Column, words: Seq[String]): Column = {
     val toks = tokens(lower(c))
     val stopList = array(words.map(lit): _*)
     when(size(toks) === 0, 0.0)
       .otherwise(size(filter(toks, t => array_contains(stopList, t))) * lit(1.0) / size(toks))
   }
 
-  /** n-gram-free stopword-ratio language ID: returns `en`, `tr`, or `und`. */
+  /** (n_tokens, n_en_stopwords, n_tr_stopwords) of the lowered text in ONE
+    * native scan — the shared kernel of [[langId]]/[[enStopwordRatio]].
+    * `lower` stays the Spark builtin, so Unicode case semantics are Spark's. */
+  private def stopStats(c: Column): Column = TextNativeUtil.stopTokenStats(lower(c))
+
+  private def ratioOf(stats: Column, field: String): Column =
+    when(stats.getField("n") === 0, 0.0)
+      .otherwise(stats.getField(field) * lit(1.0) / stats.getField("n"))
+
+  /** n-gram-free stopword-ratio language ID: returns `en`, `tr`, or `und`.
+    * Same values as the HOF twin (codegen CSE collapses the repeated stats
+    * references to one scan; the twin re-ran `split(lower(c))` ~20×/row —
+    * plans/r07/q_lang_id_before.txt). */
   def langId(c: Column): Column = {
-    val en = stopRatio(c, EnStopwords)
-    val tr = stopRatio(c, TrStopwords)
+    val st = stopStats(c)
+    val en = ratioOf(st, "en")
+    val tr = ratioOf(st, "tr")
+    when(en >= tr && en > 0.03, "en").when(tr > en && tr > 0.03, "tr").otherwise("und")
+  }
+
+  /** The HOF formulation [[langId]] replaced — equality witness only. */
+  private[graft] def langIdColumns(c: Column): Column = {
+    val en = stopRatioColumns(c, EnStopwords)
+    val tr = stopRatioColumns(c, TrStopwords)
     when(en >= tr && en > 0.03, "en").when(tr > en && tr > 0.03, "tr").otherwise("und")
   }
 
   /** English stopword ratio (exposed for quality scoring). */
-  def enStopwordRatio(c: Column): Column = stopRatio(c, EnStopwords)
+  def enStopwordRatio(c: Column): Column = ratioOf(stopStats(c), "en")
 
-  /** Punctuation character ratio. */
+  /** The HOF formulation [[enStopwordRatio]] replaced — equality witness only. */
+  private[graft] def enStopwordRatioColumns(c: Column): Column =
+    stopRatioColumns(c, EnStopwords)
+
+  /** Punctuation character ratio — native `\p{P}` code-point scan
+    * ([[PunctCountExpr]]). */
   def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(TextNativeUtil.punctCountCol(c) * lit(1.0) / length(c))
+
+  /** The regexp formulation [[punctRatio]] replaced — equality witness only. */
+  private[graft] def punctRatioColumns(c: Column): Column =
     when(length(c) === 0, 0.0)
       .otherwise(regexp_count(c, lit("\\p{P}")) * lit(1.0) / length(c))
 

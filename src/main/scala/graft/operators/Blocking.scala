@@ -95,9 +95,19 @@ object Blocking {
   private val hotMemo =
     TrieMap[(SparkSession, LogicalPlan, Seq[String], Int, Int), Array[Row]]()
 
+  /** Bound on memoized probe entries. A long-running stream routes every
+    * batch through [[saltedSelfJoin]] with a NEW canonicalized plan (the
+    * affected frame embeds the live delta paths), so without a bound the
+    * memos grow one LogicalPlan tree per batch per join forever (r6 ADVICE).
+    * On overflow the memo is simply cleared — re-probing a relation costs
+    * two small aggregate jobs, unbounded driver heap costs the stream. */
+  private val MaxProbeMemoEntries = 512
+
   private def evictStoppedProbes(): Unit = {
     bytesMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bytesMemo.remove)
     hotMemo.keys.filter(_._1.sparkContext.isStopped).foreach(hotMemo.remove)
+    if (bytesMemo.size > MaxProbeMemoEntries) bytesMemo.clear()
+    if (hotMemo.size > MaxProbeMemoEntries) hotMemo.clear()
   }
 
   /** Drop every memoized probe result for `spark` (test hook; production

@@ -72,18 +72,37 @@ object Dedup {
 
   // ------------------------------ exact ------------------------------------
 
-  /** Exact dedup: hash-groupBy on the raw text. Output: one row per input row
-    * with its cluster representative (min id). */
+  /** Exact dedup: representative = min id per content hash, as ONE window
+    * pass (`min over (partition by hash)` — the same shape as the DuckDB
+    * oracle). The former groupBy+self-join formulation scanned the input
+    * twice and paid an aggregate exchange PLUS a join; at corpus scale the
+    * reps relation is itself corpus-sized (one row per distinct hash), so
+    * the join was a second full shuffle, not a broadcast. One hash exchange
+    * + sort replaces both. Output: one row per input row with its cluster
+    * representative (min id). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = md5(col(textCol))
-    val withH = df.select(col(idCol), h.as("content_hash"))
-    val reps = withH.groupBy("content_hash").agg(min(col(idCol)).as("rep_id"))
-    withH.join(reps, "content_hash").select(col(idCol), col("content_hash"), col("rep_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+    df.select(col(idCol), h.as("content_hash"))
+      .select(col(idCol), col("content_hash"), min(col(idCol)).over(w).as("rep_id"))
   }
 
-  /** Bag-of-words dedup: identical sorted-distinct token multiset ⇒ duplicate
-    * (whitespace/ordering-insensitive exact dedup). */
+  /** Bag-of-words dedup: identical sorted-distinct token set ⇒ duplicate
+    * (whitespace/ordering-insensitive exact dedup). Key built by the native
+    * one-scan [[graft.functions.BowKeyExpr]] (the array_sort∘array_distinct∘
+    * filter∘split chain ran interpreted, and the join formulation evaluated
+    * it up to four times per row — plans/r07/q_dedup_bow_before.txt); same
+    * single-window shape as [[exact]]. */
   def bagOfWords(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val key = md5(graft.functions.TextNativeUtil.bowKeyCol(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bow_hash"))
+    df.select(col(idCol), key.as("bow_hash"))
+      .select(col(idCol), col("bow_hash"), min(col(idCol)).over(w).as("rep_id"))
+  }
+
+  /** The join formulation [[bagOfWords]] replaced — equality witness only
+    * (also witnesses the HOF bow key against [[graft.functions.BowKeyExpr]]). */
+  private[graft] def bagOfWordsColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val key = md5(array_join(array_sort(array_distinct(TextFunctions.tokens(col(textCol)))), " "))
     val withH = df.select(col(idCol), key.as("bow_hash"))
     val reps = withH.groupBy("bow_hash").agg(min(col(idCol)).as("rep_id"))
@@ -101,6 +120,39 @@ object Dedup {
     *
     * @param cand candidate pairs (id_a, id_b), already deduplicated
     * @param sets per-id state (id, sh: array<string>, nsh: int) */
+  /** [[verifiedJaccard]] for candidates that ALREADY carry (nsh_a, nsh_b) and
+    * a threshold known to be > 0: the intersection count groups by the pair
+    * WITH its sizes, so jaccard falls out of the aggregate directly — no
+    * size re-joins and no LeftOuter attach of the intersection back onto the
+    * candidates (three joins fewer than [[verifiedJaccard]]; at corpus scale
+    * the LeftOuter was a second candidate-set-sized sort-merge). Zero-overlap
+    * pairs simply don't reach the aggregate — under `threshold > 0` they
+    * could never pass the filter, EXCEPT the both-empty pair (jaccard 1.0 by
+    * the both-empty rule), which is re-added from the size columns alone.
+    * Callers must filter `jaccard >= threshold` with threshold > 0 (the pair
+    * operators' contract; a 0 threshold would need every candidate row).
+    *
+    * `includeBothEmpty = false` additionally asserts the caller feeds only
+    * non-empty sets (the PPJoin path filters `nsh > 0` upstream): the
+    * both-empty union branch would re-execute the candidate subtree just to
+    * produce zero rows. When true, pass a PERSISTED candidate frame — both
+    * branches scan it. */
+  private[graft] def verifiedJaccardSized(candWithSizes: DataFrame, sets: DataFrame,
+                                          includeBothEmpty: Boolean): DataFrame = {
+    val expl = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val base = candWithSizes.select("id_a", "id_b", "nsh_a", "nsh_b")
+    val inter = base
+      .join(expl.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(expl.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "nsh_a", "nsh_b").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("nsh_a") + col("nsh_b") - col("inter")))
+    if (!includeBothEmpty) inter
+    else inter.unionByName(
+      base.filter(col("nsh_a") + col("nsh_b") === 0)
+        .withColumn("inter", lit(0L)).withColumn("jaccard", lit(1.0)))
+  }
+
   private[graft] def verifiedJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
     val expl = sets.select(col("id"), explode(col("sh")).as("shingle"))
     val inter = cand.select("id_a", "id_b")
@@ -197,7 +249,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
 
-    verifiedJaccard(cand, sets)
+    // sizes attach once here; the verification aggregate then carries them
+    // (verifiedJaccardSized needs threshold > 0 — see its scaladoc)
+    require(threshold > 0, "minhashPairs: threshold must be > 0")
+    val sizes = sets.select(col("id"), col("nsh"))
+    // persisted: the both-empty branch and the intersection branch both scan
+    // the candidate frame (skinny: 4 scalars per pair)
+    val candSized = trackPersist(cand
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("nsh_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nsh_b")), "id_b"))
+    verifiedJaccardSized(candSized, sets, includeBothEmpty = true)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -324,9 +385,13 @@ object Dedup {
       .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select(col("shingle"), col("id"), col("nsh"), col("rk")))
 
-    val cand = ppjoinCandidates(prefix, threshold, maxBucket)
+    // candidates keep (nsh_a, nsh_b) — already grouped by them for the size/
+    // positional prunes — so verification needs no size re-join at all
+    require(threshold > 0, "ngramJaccardPairs: threshold must be > 0")
+    val cand = ppjoinCandidates(prefix, threshold, maxBucket, keepSizes = true)
 
-    verifiedJaccard(cand, sets)
+    // includeBothEmpty = false: sets is filtered to nsh > 0 above
+    verifiedJaccardSized(cand, sets, includeBothEmpty = false)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -350,16 +415,20 @@ object Dedup {
     * @param prefix prefix rows (shingle, id, nsh, rk) ranked under ONE fixed
     *               global shingle order */
   private[graft] def ppjoinCandidates(prefix: DataFrame, threshold: Double,
-                                      maxBucket: Int): DataFrame = {
+                                      maxBucket: Int,
+                                      keepSizes: Boolean = false): DataFrame = {
     val alpha = ceil(lit(threshold) / (1 + threshold) * (col("nsh_a") + col("nsh_b")))
-    Blocking.saltedSelfJoin(prefix, Seq("shingle"), "id",
+    val pruned = Blocking.saltedSelfJoin(prefix, Seq("shingle"), "id",
         Seq("nsh", "rk"), maxBucket)
       .groupBy(col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"))
       .agg(min(col("rk_a")).as("ra"), min(col("rk_b")).as("rb"))
       .filter(least(col("nsh_a"), col("nsh_b")) * lit(1.0)
         / greatest(col("nsh_a"), col("nsh_b")) >= threshold)
       .filter(lit(1) + least(col("nsh_a") - col("ra"), col("nsh_b") - col("rb")) >= alpha)
-      .select("id_a", "id_b")
+    // keepSizes feeds [[verifiedJaccardSized]] (no size re-join); the
+    // id-only shape stays the incremental operator's interface
+    if (keepSizes) pruned.select("id_a", "id_b", "nsh_a", "nsh_b")
+    else pruned.select("id_a", "id_b")
   }
 
   /** Prefix rows under the CONTENT-HASH total order (xxhash64 asc, shingle

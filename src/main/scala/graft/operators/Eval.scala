@@ -14,9 +14,16 @@ object Eval {
     * (url_a, url_b, is_match); `gold` has (url_a, url_b, is_pos). Restricted
     * to the pairs present in `pred` (i.e. pairs at shared blocking keys —
     * BASELINE.json metric). Returns one row (tp, fp, fn, precision, recall, f1). */
-  def pairwiseMetrics(pred: DataFrame, gold: DataFrame): DataFrame = {
-    val j = pred.join(gold, Seq("url_a", "url_b"), "left")
-      .withColumn("is_pos", coalesce(col("is_pos"), lit(false)))
+  def pairwiseMetrics(pred: DataFrame, gold: DataFrame): DataFrame =
+    pairwiseMetricsLabeled(pred.join(gold, Seq("url_a", "url_b"), "left")
+      .withColumn("is_pos", coalesce(col("is_pos"), lit(false))))
+
+  /** [[pairwiseMetrics]] over an ALREADY-LABELED frame (is_match, is_pos) —
+    * the one-pass form for callers whose gold label is a pure function of the
+    * prediction row itself (e.g. synthesized-url pairs): labeling is then a
+    * projection, and the (url_a, url_b) join of [[pairwiseMetrics]] would be
+    * an identity attach costing a full shuffle join and a second scan. */
+  def pairwiseMetricsLabeled(j: DataFrame): DataFrame = {
     j.agg(
       sum(when(col("is_pos") && col("is_match"), 1L).otherwise(0L)).as("tp"),
       sum(when(!col("is_pos") && col("is_match"), 1L).otherwise(0L)).as("fp"),

@@ -137,14 +137,39 @@ object StaticParser {
     }(enc)
   }
 
+  // The gazetteer is a STATIC resource (bundled table, not testdata-derived),
+  // but q_parse_full_gaz paid ~0.9 s of single-threaded driver time PER
+  // INVOCATION rebuilding + re-broadcasting the 73k-row index (measured,
+  // OPTIMIZATION_r07.md). Index builds are memoized by rows-sequence IDENTITY
+  // (call sites pass the stable `Gazetteer.rows`/`rowsFull` lazy vals;
+  // structural equality over 73k rows would itself cost more than the build),
+  // broadcasts per (session, rows) — the Queries.prepCache pattern, with the
+  // same stopped-session eviction so a JVM cycling sessions can't accumulate.
+  private final class IdKey(val r: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(r)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => k.r eq r
+      case _ => false
+    }
+  }
+  private val idxMemo =
+    scala.collection.concurrent.TrieMap[IdKey, Gazetteer.Index]()
+  private val bcastMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, IdKey), Broadcast[Gazetteer.Index]]()
+
   /** Convenience: broadcast the default synthesized gazetteer index. */
   def broadcastIndex(spark: SparkSession): Broadcast[Gazetteer.Index] =
-    spark.sparkContext.broadcast(Gazetteer.buildIndex())
+    broadcastIndex(spark, Gazetteer.rows)
 
   /** Broadcast an index over arbitrary gazetteer rows (e.g. the 73k-row
-    * reference-scale table, [[Gazetteer.rowsFull]]). */
-  def broadcastIndex(spark: SparkSession, rows: Seq[graft.sources.GazRow]): Broadcast[Gazetteer.Index] =
-    spark.sparkContext.broadcast(Gazetteer.buildIndex(rows))
+    * reference-scale table, [[Gazetteer.rowsFull]]); build and broadcast are
+    * memoized — see the memo note above. */
+  def broadcastIndex(spark: SparkSession, rows: Seq[graft.sources.GazRow]): Broadcast[Gazetteer.Index] = {
+    bcastMemo.keys.filter(_._1.sparkContext.isStopped).foreach(bcastMemo.remove)
+    val k = new IdKey(rows)
+    bcastMemo.getOrElseUpdate((spark, k),
+      spark.sparkContext.broadcast(idxMemo.getOrElseUpdate(k, Gazetteer.buildIndex(rows))))
+  }
 
   /** Top-`limit` closest gazetteer keys for a target string, ranked by the
     * reference's composite score `(contains, startswith, common-tokens,

@@ -377,4 +377,19 @@ class LinkageSpec extends AnyFunSuite {
     assert(Scoring.jaroWinkler("", "") == 1.0)
     assert(Scoring.levSim("", "") == 1.0)
   }
+
+  test("one-pass labeled pairwise metrics == join formulation (q_linkage_f1 shape)") {
+    // r7 optimization: q_linkage_f1 labels the scored pairs by projection
+    // instead of joining the relation with itself — must be row-identical
+    val sc = Linkage.scored(Linkage.prepare(pages)).persist()
+    val gold = sc.select(col("url_a"), col("url_b"),
+      (Pages.goldEntityId(col("url_a")) === Pages.goldEntityId(col("url_b"))).as("is_pos"))
+    val viaJoin = Eval.pairwiseMetrics(sc.select("url_a", "url_b", "is_match"), gold)
+      .collect().toSeq
+    val viaLabel = Eval.pairwiseMetricsLabeled(sc.select(col("is_match"),
+      (Pages.goldEntityId(col("url_a")) === Pages.goldEntityId(col("url_b"))).as("is_pos")))
+      .collect().toSeq
+    assert(viaLabel == viaJoin)
+    sc.unpersist()
+  }
 }

@@ -65,6 +65,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bow.filter(col("doc_id") =!= col("rep_id")).count() >= 3)
   }
 
+  test("sized verification == join verification under the threshold filter") {
+    // r7: the pair operators verify with verifiedJaccardSized (sizes carried
+    // through candidates, zero-overlap pairs never materialized). Must match
+    // the join formulation row-for-row after any threshold > 0 filter,
+    // including the both-empty rule and zero-overlap drops.
+    val sets = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")), (2L, Seq("a b c", "b c d", "x y z")),
+      (3L, Seq("p q r")), (4L, Seq.empty[String]), (5L, Seq.empty[String]))
+      .toDF("id", "sh").withColumn("nsh", size(col("sh")))
+    val cand = Seq((1L, 2L), (1L, 3L), (4L, 5L), (1L, 4L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val sizes = sets.select(col("id"), col("nsh"))
+    val candSized = cand
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("nsh_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nsh_b")), "id_b")
+    for (t <- Seq(0.1, 0.5, 1.0)) {
+      val viaJoin = Dedup.verifiedJaccard(cand, sets)
+        .filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .orderBy("id_a", "id_b").collect().toSeq
+      val viaSized = Dedup.verifiedJaccardSized(candSized, sets, includeBothEmpty = true)
+        .filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(viaSized == viaJoin, s"threshold $t")
+      // the PPJoin path: both-empty branch elided under the nsh > 0 contract
+      val neSets = sets.filter(col("nsh") > 0)
+      val neCand = cand.filter(col("id_a") <= 3 && col("id_b") <= 3)
+      val neSized = candSized.filter(col("id_a") <= 3 && col("id_b") <= 3)
+      val neJoin = Dedup.verifiedJaccard(neCand, neSets)
+        .filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .orderBy("id_a", "id_b").collect().toSeq
+      val neNew = Dedup.verifiedJaccardSized(neSized, neSets, includeBothEmpty = false)
+        .filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .orderBy("id_a", "id_b").collect().toSeq
+      assert(neNew == neJoin, s"non-empty path, threshold $t")
+    }
+  }
+
   test("native minhash signature ≡ Column formulation (value-identical)") {
     // The native MinHashSig expression must produce EXACTLY the signatures
     // the interpreted array/transform/hash construction produced (band
