@@ -136,6 +136,58 @@ object BenchExtra {
           lit(2) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), lit(0.0)), 6)))
     }
 
+    // ---- sort-strategy A/B for the pair queries ----
+    t("ab.simhash.sortedOnce") {
+      noop(SparkEntry.queries("q_simhash_pairs")(spark, sfDir))
+    }
+    t("ab.simhash.plain_sort") {
+      noop(graft.operators.Dedup.simhashPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b"))
+    }
+    t("ab.simhash.no_sort") {
+      noop(graft.operators.Dedup.simhashPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", maxHamming = 3))
+    }
+    t("ab.minhash.sortedOnce") {
+      noop(SparkEntry.queries("q_minhash_pairs")(spark, sfDir))
+    }
+    t("ab.minhash.plain_sort") {
+      noop(graft.operators.Dedup.minhashPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b"))
+    }
+    t("ab.minhash.no_sort") {
+      noop(graft.operators.Dedup.minhashPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", threshold = 0.5))
+    }
+
+    t("ab.ngram.sortedOnce") {
+      noop(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir))
+    }
+    t("ab.ngram.plain_sort") {
+      noop(graft.operators.Dedup.ngramJaccardPairs(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b"))
+    }
+    t("ab.entities.sortedOnce") {
+      noop(SparkEntry.queries("q_entities")(spark, sfDir))
+    }
+    t("ab.entities.plain_sort") {
+      noop(graft.operators.Linkage.entitiesFrom(
+        Queries.preparedFor(spark, sfDir), Queries.scoredFor(spark, sfDir),
+        graft.operators.StaticParser.broadcastIndex(spark)).orderBy("url"))
+    }
+    t("ab.parsefull.sortedOnce") {
+      noop(SparkEntry.queries("q_parse_full_gaz")(spark, sfDir))
+    }
+    t("ab.parsefull.plain_sort") {
+      val b = graft.operators.StaticParser.broadcastIndex(spark, graft.sources.Gazetteer.rowsFull)
+      noop(graft.operators.StaticParser.parse(
+        Queries.preparedFor(spark, sfDir).select("url", "extracted"), "extracted", b)
+        .select("url", "province", "district", "neighbourhood").orderBy("url"))
+    }
+
     // ---- orderBy range-sampling double-execution probes ----
     t("entities.full_no_sort") {
       noop(graft.operators.Linkage.entitiesFrom(
@@ -166,6 +218,27 @@ object BenchExtra {
       noop(graft.operators.StaticParser.parse(
         Queries.preparedFor(spark, sfDir).select("url", "extracted"), "extracted", b)
         .select("url", "province", "district", "neighbourhood").orderBy("url"))
+    }
+
+    // ---- cold-pipeline phase isolation (pages_per_sec metric) ----
+    val nP = Queries.pagesFor(sfDir)
+    t("cold.synthesize") {
+      noop(graft.sources.Pages.synthesize(spark, nP).toDF())
+    }
+    t("cold.extract") {
+      noop(graft.operators.Linkage.extract(graft.sources.Pages.synthesize(spark, nP).toDF()))
+    }
+    t("cold.norm") {
+      noop(graft.operators.Linkage.extract(graft.sources.Pages.synthesize(spark, nP).toDF())
+        .withColumn("norm", graft.operators.Blocking.blockNorm(col("extracted"))))
+    }
+    t("cold.prepared") {
+      noop(graft.operators.Linkage.prepare(graft.sources.Pages.synthesize(spark, nP).toDF()))
+    }
+    t("cold.scored_fresh") {
+      Queries.resetPipelineCache(spark)
+      noop(SparkEntry.queries("q_scored_pairs")(spark, sfDir))
+      Queries.resetPipelineCache(spark)
     }
 
     t("agg_lineitem.full") { noop(SparkEntry.queries("q_agg_lineitem")(spark, sfDir)) }

@@ -314,13 +314,16 @@ object Queries {
     }),
     "q_minhash_pairs" -> ((s, dir) => {
       implicit val sp = s
-      sortedOnce(Dedup.minhashPairs(t(dir, "documents"), "doc_id", "text",
-        threshold = 0.5), "id_a", "id_b")
+      // plain orderBy, NOT sortedOnce: past the last exchange these pair
+      // queries only re-run a cheap final aggregate on the sampling pass —
+      // the persist costs more than it saves (A/B in OPTIMIZATION_r07.md)
+      Dedup.minhashPairs(t(dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
     }),
     "q_simhash_pairs" -> ((s, dir) => {
       implicit val sp = s
-      sortedOnce(Dedup.simhashPairs(t(dir, "documents"), "doc_id", "text",
-        maxHamming = 3), "id_a", "id_b")
+      Dedup.simhashPairs(t(dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       implicit val sp = s
@@ -340,8 +343,9 @@ object Queries {
       // — always found, every band signature equal — and the natural corpus
       // has zero pairs within 0.985 of the 0.99 threshold, measured, so LSH
       // recall is exactly 1 on this input and output = the SQL's answer)
-      sortedOnce(Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.99)
-        .withColumn("cos", round(col("cos"), 2)), "id_a", "id_b")
+      Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.99)
+        .withColumn("cos", round(col("cos"), 2))
+        .orderBy("id_a", "id_b")
     }),
 
     // --- similarity search over embeddings ---

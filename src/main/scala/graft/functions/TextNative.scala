@@ -149,11 +149,57 @@ object TextNativeUtil {
     UTF8String.fromString(sb.toString)
   }
 
+  /** `\p{L}\p{N}` membership for one code point — exactly the char classes
+    * the canon filter's `rlike("[\\p{L}\\p{N}]")` tests. */
+  @inline private def isLetterOrNumber(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** Canonical signature-token string: same value as
+    * `array_join(array_sort(filter(split(c, " "), t => t.rlike("[\p{L}\p{N}]"))), " ")`
+    * — tokens split at SINGLE SPACES only (the normalizer collapses
+    * whitespace upstream; a literal-space split keeps that contract), kept
+    * when they contain at least one letter/number code point, sorted in
+    * UTF8String (binary) order, space-joined. Duplicates kept (filter ≠
+    * distinct). */
+  def canonSig(s: String): UTF8String = {
+    val toks = new java.util.ArrayList[UTF8String]()
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      // token = [start, i); test for any \p{L}\p{N} code point
+      var j = start
+      var keep = false
+      while (!keep && j < i) {
+        val cp = s.codePointAt(j)
+        if (isLetterOrNumber(cp)) keep = true
+        j += Character.charCount(cp)
+      }
+      if (keep) toks.add(UTF8String.fromString(s.substring(start, i)))
+      i += 1 // skip the separator (or step past end to terminate)
+    }
+    java.util.Collections.sort(toks)
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k < toks.size()) {
+      if (k > 0) sb.append(' ')
+      sb.append(toks.get(k).toString)
+      k += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def stopTokenStats(c: Column): Column = Bridge.column(StopTokenStats(Bridge.expression(c)))
   def tokenCountCol(c: Column): Column = Bridge.column(TokenCountExpr(Bridge.expression(c)))
   def punctCountCol(c: Column): Column = Bridge.column(PunctCountExpr(Bridge.expression(c)))
   def subwordCountCol(c: Column): Column = Bridge.column(SubwordCountExpr(Bridge.expression(c)))
   def bowKeyCol(c: Column): Column = Bridge.column(BowKeyExpr(Bridge.expression(c)))
+  def canonSigCol(c: Column): Column = Bridge.column(CanonSigExpr(Bridge.expression(c)))
 }
 
 sealed trait StringInExpr extends UnaryExpression {
@@ -211,6 +257,17 @@ case class SubwordCountExpr(child: Expression) extends StringInExpr {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextNativeUtil.subwordCount($c.toString())")
   override protected def withNewChildInternal(newChild: Expression): SubwordCountExpr =
+    copy(child = newChild)
+}
+
+case class CanonSigExpr(child: Expression) extends StringInExpr {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canon_sig_native"
+  override def nullSafeEval(input: Any): Any =
+    TextNativeUtil.canonSig(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNativeUtil.canonSig($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): CanonSigExpr =
     copy(child = newChild)
 }
 

@@ -253,11 +253,14 @@ object Dedup {
     // (verifiedJaccardSized needs threshold > 0 — see its scaladoc)
     require(threshold > 0, "minhashPairs: threshold must be > 0")
     val sizes = sets.select(col("id"), col("nsh"))
-    // persisted: the both-empty branch and the intersection branch both scan
-    // the candidate frame (skinny: 4 scalars per pair)
-    val candSized = trackPersist(cand
+    // NOT persisted: the intersection and both-empty branches reference this
+    // frame twice, but their common exchange subtrees are deduplicated by
+    // ReuseExchange (the old join formulation had the same two-reference
+    // shape), and a persist here would hide the banded join behind an
+    // InMemoryRelation (breaking the PlanSpec payload audit) for no win
+    val candSized = cand
       .join(sizes.select(col("id").as("id_a"), col("nsh").as("nsh_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nsh_b")), "id_b"))
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nsh_b")), "id_b")
     verifiedJaccardSized(candSized, sets, includeBothEmpty = true)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

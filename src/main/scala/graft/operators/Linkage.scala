@@ -46,8 +46,14 @@ object Linkage {
     extract(pages, cfg)
       .withColumn("norm", Blocking.blockNorm(col("extracted")))
       .withColumn("block_key", Blocking.blockKey(col("norm"), cfg.phonetic))
-      .withColumn("canon", array_join(array_sort(
-        filter(split(col("norm"), " "), t => t.rlike("[\\p{L}\\p{N}]"))), " "))
+      // native one-scan canon (the filter/rlike HOF chain ran interpreted on
+      // the cold-pipeline hot path; value-identical — TextNativeSpec)
+      .withColumn("canon", graft.functions.TextNativeUtil.canonSigCol(col("norm")))
+
+  /** The HOF canon formulation [[prepare]] replaced — equality witness only. */
+  private[graft] def canonColumns(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(array_sort(
+      filter(split(norm, " "), t => t.rlike("[\\p{L}\\p{N}]"))), " ")
 
   /** Candidate pairs at shared blocking keys (skew-salted self-join). */
   def candidates(prepared: DataFrame, cfg: Config = Config()): DataFrame =

@@ -483,28 +483,44 @@ object IncrementalDedup {
     StateFs.listNames(stateDir)
       .flatMap(n => StateFs.numericSuffix(n, "compacted_")).sorted
 
+  /** Live plain-delta batches: everything committed after the latest
+    * compaction base (STRICTLY after — the base batch's own delta is folded
+    * into its marker-gated `cbase_` dirs, see [[persistStep]]). */
   private def liveBatches(stateDir: String, beforeBatch: Long,
                           prefixes: Seq[String]): Seq[Long] = {
     val committed = committedBatches(stateDir, prefixes).filter(_ < beforeBatch)
     compactions(stateDir).filter(_ < beforeBatch).lastOption match {
-      case Some(base) => committed.filter(_ >= base)
+      case Some(base) => committed.filter(_ > base)
       case None       => committed
     }
   }
 
   private def gcSuperseded(stateDir: String, currentBatch: Long,
-                           prefixes: Seq[String]): Unit =
-    compactions(stateDir).filter(_ < currentBatch).lastOption.foreach { base =>
-      committedBatches(stateDir, prefixes).filter(_ < base).foreach { b =>
+                           prefixes: Seq[String]): Unit = {
+    val marks = compactions(stateDir).filter(_ < currentBatch)
+    marks.lastOption.foreach { base =>
+      // delta dirs up to AND INCLUDING the base batch are folded into the
+      // base's cbase_ dirs; older cbase generations are superseded too
+      committedBatches(stateDir, prefixes).filter(_ <= base).foreach { b =>
         prefixes.foreach(p => StateFs.deleteRecursive(stateDir, s"$p$b"))
       }
+      marks.dropRight(1).foreach { old =>
+        prefixes.foreach(p => StateFs.deleteRecursive(stateDir, s"cbase_$p$old"))
+      }
     }
+  }
 
   /** One persisted-delta foreachBatch body, generic over the family's frame
     * roles: GC superseded deltas, rebuild prior state by union of live
-    * deltas, compute this batch's delta frames, write them (folded with the
-    * prior state on a compaction batch — append-only state compacts by
-    * plain union), publish the compaction marker LAST. */
+    * deltas, compute this batch's delta frames, write the PLAIN deltas, and
+    * on a compaction batch write the fold (prev ∪ delta, read BACK from the
+    * just-written delta parquet — plan-truncating and recompute-free) into
+    * separate `cbase_<role>_N` dirs, publishing the `compacted_N` marker
+    * LAST. The plain delta always landing in the batch delta dirs is the
+    * crash-correctness invariant (r6 ADVICE): any reader between the delta
+    * `_SUCCESS` and the marker sees old-base + plain deltas — the correct
+    * state — where the old write-the-fold-into-the-delta-dir layout made
+    * the plain-union rebuild double every pre-batch row in that window. */
   private def persistStep(spark: SparkSession, stateDir: String, batchId: Long,
                           prefixes: Seq[String], compactEvery: Int,
                           empties: => Seq[DataFrame],
@@ -514,26 +530,33 @@ object IncrementalDedup {
     val prev: Seq[DataFrame] =
       loadFrames(spark, stateDir, batchId, prefixes).getOrElse(empties)
     val d = deltaOf(prev)
-    val base = compactions(stateDir).filter(_ < batchId).lastOption
-    val doCompact = compactEvery > 0 &&
-      live.count(b => !base.contains(b)) + 1 >= compactEvery
-    prefixes.zip(d).zip(prev).foreach { case ((p, df), pv) =>
-      val outDf = if (doCompact) pv.unionByName(df) else df
-      outDf.write.mode("overwrite").parquet(s"$stateDir/$p$batchId")
+    val doCompact = compactEvery > 0 && live.size + 1 >= compactEvery
+    prefixes.zip(d).foreach { case (p, df) =>
+      df.write.mode("overwrite").parquet(s"$stateDir/$p$batchId")
     }
-    if (doCompact) StateFs.publish(stateDir, s"compacted_$batchId", Array.empty[Byte])
+    if (doCompact) {
+      prefixes.zip(prev).foreach { case (p, pv) =>
+        pv.unionByName(spark.read.parquet(s"$stateDir/$p$batchId"))
+          .write.mode("overwrite").parquet(s"$stateDir/cbase_$p$batchId")
+      }
+      StateFs.publish(stateDir, s"compacted_$batchId", Array.empty[Byte])
+    }
   }
 
-  /** Live committed deltas before `beforeBatch`, each role rebuilt by plain
-    * union — None when no batch has committed yet. The ONE reader every
-    * loader and [[persistStep]] share, so the delta layout has a single
-    * read path. */
+  /** Accumulated state before `beforeBatch`: the latest marker-gated
+    * compaction base (if any) unioned with the live plain deltas after it —
+    * None when nothing has committed yet. The ONE reader every loader and
+    * [[persistStep]] share, so the delta layout has a single read path. */
   private def loadFrames(spark: SparkSession, stateDir: String, beforeBatch: Long,
                          prefixes: Seq[String]): Option[Seq[DataFrame]] = {
+    val base = compactions(stateDir).filter(_ < beforeBatch).lastOption
     val live = liveBatches(stateDir, beforeBatch, prefixes)
-    if (live.isEmpty) None
-    else Some(prefixes.map(p => live.map(b => spark.read.parquet(s"$stateDir/$p$b"))
-      .reduce(_ unionByName _)))
+    if (base.isEmpty && live.isEmpty) None
+    else Some(prefixes.map { p =>
+      (base.map(b => spark.read.parquet(s"$stateDir/cbase_$p$b")).toSeq ++
+        live.map(b => spark.read.parquet(s"$stateDir/$p$b")))
+        .reduce(_ unionByName _)
+    })
   }
 
   /** Accumulated state before `beforeBatch`, reconstructed by plain union of

@@ -82,6 +82,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "persisted streaming state diverged from full recompute")
     assert(st.sets.count() == all.count(), "sets state incomplete after resume")
     assert(IncrementalDedup.compactions(stateDir).nonEmpty, "no compaction marker")
+    // crash-window correctness (r7: marker-gated compaction base): the
+    // compaction batch writes its PLAIN delta into the delta dirs and the
+    // fold into cbase_ dirs, marker last. A reader in the window between the
+    // delta _SUCCESS and the marker (simulated by deleting the marker) must
+    // see the identical, duplication-free state from base+plain deltas.
+    val marker = IncrementalDedup.compactions(stateDir).last
+    val markerPath = java.nio.file.Paths.get(stateDir, s"compacted_$marker")
+    java.nio.file.Files.delete(markerPath)
+    val stNoMarker = IncrementalDedup.loadState(spark, stateDir, Long.MaxValue,
+      "doc_id", "text")
+    assert(stNoMarker.pairs.except(full).count() == 0 &&
+      full.except(stNoMarker.pairs).count() == 0,
+      "pre-marker crash window state diverged (plain-union duplication?)")
+    assert(stNoMarker.sets.count() == all.count(),
+      "pre-marker crash window sets state duplicated or incomplete")
+    java.nio.file.Files.write(markerPath, Array.empty[Byte])
     inc.unpersist(); full.unpersist()
     Dedup.releaseCaches(spark)
   }

@@ -95,6 +95,20 @@ class TextNativeSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("native canon signature == filter/rlike twin (pages corpus + fuzz)") {
+    val c = col("t")
+    assertCols(fuzz, TextNativeUtil.canonSigCol(c),
+      graft.operators.Linkage.canonColumns(c), "canonSig")
+    // the real hot path: block-normalized page extracts
+    val pages = graft.operators.Linkage.extract(
+      graft.sources.Pages.synthesize(spark, 1800L).toDF())
+      .withColumn("norm", graft.operators.Blocking.blockNorm(col("extracted")))
+    val bad = pages.select(TextNativeUtil.canonSigCol(col("norm")).as("x"),
+      graft.operators.Linkage.canonColumns(col("norm")).as("y"))
+      .filter(!(col("x") <=> col("y"))).count()
+    assert(bad == 0)
+  }
+
   test("window-min dedup == join formulation (exact + bow, corpus with planted dups)") {
     val planted = docs.select(col("doc_id"), col("text"))
       .union(docs.filter(col("doc_id") < 10)
