@@ -235,6 +235,21 @@ object BenchExtra {
     t("cold.prepared") {
       noop(graft.operators.Linkage.prepare(graft.sources.Pages.synthesize(spark, nP).toDF()))
     }
+    t("cold.prepared_persisted") {
+      Queries.resetPipelineCache(spark)
+      noop(Queries.preparedFor(spark, sfDir))
+      Queries.resetPipelineCache(spark)
+    }
+    t("cold.candidates") {
+      Queries.resetPipelineCache(spark)
+      noop(graft.operators.Linkage.candidates(Queries.preparedFor(spark, sfDir)))
+      Queries.resetPipelineCache(spark)
+    }
+    t("cold.scored_nosort") {
+      Queries.resetPipelineCache(spark)
+      noop(graft.operators.Linkage.scored(Queries.preparedFor(spark, sfDir)))
+      Queries.resetPipelineCache(spark)
+    }
     t("cold.scored_fresh") {
       Queries.resetPipelineCache(spark)
       noop(SparkEntry.queries("q_scored_pairs")(spark, sfDir))

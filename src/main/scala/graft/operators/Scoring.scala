@@ -1,7 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** One candidate pair entering the scorer. `canon_*` is the per-ROW
   * pre-sorted signature-token string (see [[Linkage.prepare]]) — sorting and
@@ -155,7 +163,15 @@ object Scoring {
   def scorePair(normA: String, normB: String): (Double, Double, Double, Double, Double) =
     scoreCanon(canonical(normA), canonical(normB))
 
-  /** The scoring operator: candidate pairs → scored pairs. */
+  /** Kernel adapter for the native expression: one InternalRow of the five
+    * metric doubles, null canons mapped to "" exactly as [[scoreCanon]]. */
+  def scoreRow(a: String, b: String): InternalRow = {
+    val (jw, lv, jc, ns, s) = scoreCanon(a, b)
+    new GenericInternalRow(Array[Any](jw, lv, jc, ns, s))
+  }
+
+  /** The scoring operator: candidate pairs → scored pairs (typed form; kept
+    * as the equality witness of the expression path — ScoringExprSpec). */
   def score(pairs: Dataset[CandPair], threshold: Double = 0.85): Dataset[ScoredPair] = {
     import pairs.sparkSession.implicits._
     pairs.mapPartitions(_.map { p =>
@@ -164,9 +180,76 @@ object Scoring {
     })
   }
 
-  /** DataFrame adapter around [[score]]. */
+  /** Scoring as a PROJECTION: the same [[scoreCanon]] kernel wrapped in a
+    * native expression ([[ScorePairExpr]]) instead of a Dataset
+    * mapPartitions. The typed form paid DeserializeToObject →
+    * case-class allocation → SerializeFromObject per pair — ~half the
+    * measured scoring stage at sf0.1 (OPTIMIZATION_r07.md); the projection
+    * keeps the stage codegen'd end to end and column-prunable. Output
+    * schema and every value are identical to [[score]] (the expression
+    * calls scoreCanon itself; ScoringExprSpec pins row identity). */
   def scoreDF(pairs: DataFrame, threshold: Double = 0.85): DataFrame = {
-    import pairs.sparkSession.implicits._
-    score(pairs.select("block_key", "url_a", "url_b", "canon_a", "canon_b").as[CandPair], threshold).toDF()
+    // two-step projection: the struct is materialized ONCE and fields are
+    // extracted from the attribute — CollapseProject keeps the split (the
+    // child is non-cheap and referenced six times), so single evaluation is
+    // structural, not a codegen-CSE accident
+    pairs.select(col("block_key"), col("url_a"), col("url_b"),
+        ScoringUtil.scorePairCol(col("canon_a"), col("canon_b")).as("__m"))
+      .select(col("block_key"), col("url_a"), col("url_b"),
+        col("__m.jw").as("jw"),
+        col("__m.lev_sim").as("lev_sim"),
+        col("__m.jaccard").as("jaccard"),
+        col("__m.num_sim").as("num_sim"),
+        col("__m.score").as("score"),
+        (col("__m.score") >= threshold).as("is_match"))
   }
+}
+
+/** The pairwise scoring kernel as a native codegen'd expression:
+  * struct<jw,lev_sim,jaccard,num_sim,score> of two canon strings, via the
+  * SAME [[Scoring.scoreCanon]] Scala kernel (so values can never diverge
+  * from the typed witness). Null handling is the kernel's (null → ""), so
+  * evaluation must NOT null-short-circuit — eval/codegen are written
+  * manually instead of via nullSafeEval. */
+case class ScorePairExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(
+    Seq("jw", "lev_sim", "jaccard", "num_sim", "score")
+      .map(n => StructField(n, DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "score_pair"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(s"score_pair needs strings, got $l/$r")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    Scoring.scoreRow(
+      if (a == null) null else a.asInstanceOf[UTF8String].toString,
+      if (b == null) null else b.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val out = code"""
+      ${l.code}
+      ${r.code}
+      InternalRow ${ev.value} = graft.operators.Scoring.scoreRow(
+        ${l.isNull} ? null : ${l.value}.toString(),
+        ${r.isNull} ? null : ${r.value}.toString());
+    """
+    ev.copy(code = out, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ScorePairExpr = copy(left = newLeft, right = newRight)
+}
+
+object ScoringUtil {
+  def scorePairCol(a: Column, b: Column): Column =
+    Bridge.column(ScorePairExpr(Bridge.expression(a), Bridge.expression(b)))
 }
