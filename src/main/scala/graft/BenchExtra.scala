@@ -257,6 +257,26 @@ object BenchExtra {
     }
 
     t("agg_lineitem.full") { noop(SparkEntry.queries("q_agg_lineitem")(spark, sfDir)) }
+    t("agg_lineitem.advisory4m") {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      try noop(SparkEntry.queries("q_agg_lineitem")(spark, sfDir))
+      finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    }
+    t("agg_lineitem.advisory1m") {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      try noop(SparkEntry.queries("q_agg_lineitem")(spark, sfDir))
+      finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    }
+    t("topk_window.advisory1m") {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      try noop(SparkEntry.queries("q_topk_window")(spark, sfDir))
+      finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    }
+    t("ngram.advisory1m") {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      try noop(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir))
+      finally spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    }
     t("agg_lineitem.split1m") {
       spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
       try noop(SparkEntry.queries("q_agg_lineitem")(spark, sfDir))

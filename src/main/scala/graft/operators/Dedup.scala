@@ -111,15 +111,6 @@ object Dedup {
 
   // --------------------- shared Jaccard verification -----------------------
 
-  /** Exact Jaccard for candidate pairs WITHOUT carrying shingle arrays:
-    * |a∩b| is counted from the exploded (id, shingle) relation — candidates
-    * fan out to their left-side shingles, an equi-join on (id_b, shingle)
-    * keeps the shared ones, and `groupBy(id_a,id_b).count()` is the exact
-    * intersection size (arrays are distinct). Jaccard follows from scalars:
-    * inter / (nsh_a + nsh_b − inter).
-    *
-    * @param cand candidate pairs (id_a, id_b), already deduplicated
-    * @param sets per-id state (id, sh: array<string>, nsh: int) */
   /** [[verifiedJaccard]] for candidates that ALREADY carry (nsh_a, nsh_b) and
     * a threshold known to be > 0: the intersection count groups by the pair
     * WITH its sizes, so jaccard falls out of the aggregate directly — no
@@ -135,8 +126,9 @@ object Dedup {
     * `includeBothEmpty = false` additionally asserts the caller feeds only
     * non-empty sets (the PPJoin path filters `nsh > 0` upstream): the
     * both-empty union branch would re-execute the candidate subtree just to
-    * produce zero rows. When true, pass a PERSISTED candidate frame — both
-    * branches scan it. */
+    * produce zero rows. When true, the two branches reference the candidate
+    * frame twice — their common exchange subtrees are deduplicated by
+    * ReuseExchange (same two-reference shape as the join formulation). */
   private[graft] def verifiedJaccardSized(candWithSizes: DataFrame, sets: DataFrame,
                                           includeBothEmpty: Boolean): DataFrame = {
     val expl = sets.select(col("id"), explode(col("sh")).as("shingle"))
@@ -153,6 +145,17 @@ object Dedup {
         .withColumn("inter", lit(0L)).withColumn("jaccard", lit(1.0)))
   }
 
+  /** Exact Jaccard for candidate pairs WITHOUT carrying shingle arrays:
+    * |a∩b| is counted from the exploded (id, shingle) relation — candidates
+    * fan out to their left-side shingles, an equi-join on (id_b, shingle)
+    * keeps the shared ones, and `groupBy(id_a,id_b).count()` is the exact
+    * intersection size (arrays are distinct). Jaccard follows from scalars:
+    * inter / (nsh_a + nsh_b − inter). Used by the incremental steps (their
+    * candidate frames are id-only); the full pair operators use
+    * [[verifiedJaccardSized]].
+    *
+    * @param cand candidate pairs (id_a, id_b), already deduplicated
+    * @param sets per-id state (id, sh: array<string>, nsh: int) */
   private[graft] def verifiedJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
     val expl = sets.select(col("id"), explode(col("sh")).as("shingle"))
     val inter = cand.select("id_a", "id_b")
