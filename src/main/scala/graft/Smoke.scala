@@ -108,9 +108,16 @@ object Smoke {
         .join(spark.table("smoke_or_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
       // a BroadcastExchange is fine at smoke scale (tiny dim side); the
-      // bucket layout's job is the absence of SHUFFLE exchanges
-      println(s"[smoke] bucketed_join: orders=${joined.count()} " +
-        s"plan_has_shuffle=${joined.queryExecution.executedPlan.toString.contains("ShuffleExchange")}")
+      // bucket layout's job is the absence of SHUFFLE exchanges. Match the
+      // shuffle node's actual renderings (r6 ADVICE: ShuffleExchangeExec
+      // prints as "Exchange", so a "ShuffleExchange" substring test was
+      // always false; a tree collect would be blind too — under AQE the
+      // executed plan root is a leaf AdaptiveSparkPlanExec)
+      val nRows = joined.count()
+      val planStr = joined.queryExecution.executedPlan.toString
+      val hasShuffle = Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition").exists(planStr.contains)
+      println(s"[smoke] bucketed_join: orders=$nRows plan_has_shuffle=$hasShuffle")
       spark.sql("DROP TABLE IF EXISTS smoke_li_b"); spark.sql("DROP TABLE IF EXISTS smoke_or_b")
     }
 
