@@ -69,6 +69,76 @@ object BenchExtra {
         .filter(col("nsh") > 0))
     }
     t("ngram.full") { noop(SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)) }
+    // finer phase split: freq aggregate / prefix relation / candidates
+    t("ngram.freq") {
+      val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+        .filter(col("nsh") > 0)
+      val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      noop(exploded.groupBy("shingle").agg(count(lit(1)).as("f")))
+    }
+    t("ngram.prefix") {
+      val sets = graft.operators.Dedup.trackPersist(
+        graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+          .filter(col("nsh") > 0))
+      val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("f"), col("shingle"))
+      noop(exploded.join(freq, "shingle")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("nsh") - ceil(col("nsh") * 0.8) + 1)
+        .select(col("shingle"), col("id"), col("nsh"), col("rk")))
+    }
+    t("ngram.prefix_windowf") {
+      // A/B: attach f via count() over (partition by shingle) — one exchange
+      // by shingle instead of the freq aggregate + join re-exchange
+      val sets = graft.operators.Dedup.trackPersist(
+        graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+          .filter(col("nsh") > 0))
+      val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("f"), col("shingle"))
+      noop(exploded.withColumn("f", count(lit(1)).over(wf))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("nsh") - ceil(col("nsh") * 0.8) + 1)
+        .select(col("shingle"), col("id"), col("nsh"), col("rk")))
+    }
+    t("ngram.cand") {
+      val sets = graft.operators.Dedup.trackPersist(
+        graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+          .filter(col("nsh") > 0))
+      val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("f"), col("shingle"))
+      val prefix = graft.operators.Dedup.trackPersist(exploded.join(freq, "shingle")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("nsh") - ceil(col("nsh") * 0.8) + 1)
+        .select(col("shingle"), col("id"), col("nsh"), col("rk")))
+      noop(graft.operators.Dedup.ppjoinCandidates(prefix, 0.8, 1000, keepSizes = true))
+    }
+
+    t("ngram.counts") {
+      val sets = graft.operators.Dedup.trackPersist(
+        graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
+          .filter(col("nsh") > 0))
+      val exploded = sets.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+      val freq = exploded.groupBy("shingle").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("f"), col("shingle"))
+      val prefix = graft.operators.Dedup.trackPersist(exploded.join(freq, "shingle")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("nsh") - ceil(col("nsh") * 0.8) + 1)
+        .select(col("shingle"), col("id"), col("nsh"), col("rk")))
+      val cand = graft.operators.Dedup.trackPersist(
+        graft.operators.Dedup.ppjoinCandidates(prefix, 0.8, 1000, keepSizes = true))
+      val nSets = sets.count(); val nExpl = exploded.count()
+      val nPrefix = prefix.count(); val nCand = cand.count()
+      val nCandIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().count()
+      println(s"NGRAM COUNTS sets=$nSets exploded=$nExpl prefix=$nPrefix cand=$nCand candIds=$nCandIds")
+    }
 
     // ---- minhash phases ----
     t("minhash.sets") {
@@ -85,6 +155,20 @@ object BenchExtra {
       noop(graft.operators.Dedup.simhashBanded(docs, "doc_id", "text"))
     }
     t("simhash.full") { noop(SparkEntry.queries("q_simhash_pairs")(spark, sfDir)) }
+    t("simhash.filter_before_dedup") {
+      // A/B: hamming is a function of the pair alone (same sim values in
+      // every band collision), so filter-then-dedup ≡ dedup-then-filter —
+      // and the dropDuplicates exchange then carries only matching pairs
+      val banded = graft.operators.Dedup.trackPersist(
+        graft.operators.Dedup.simhashBanded(docs, "doc_id", "text"))
+      noop(graft.operators.Blocking.saltedSelfJoin(
+          banded, Seq("band", "bucket"), "id", Seq("sim"), 1000)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b"))
+    }
 
     // ---- pipeline family (shared caches warm: build them once first) ----
     Queries.preparedFor(spark, sfDir).count()
@@ -94,6 +178,12 @@ object BenchExtra {
       noop(graft.operators.ConnectedComponents.runGrouped(
         matched.select(col("block_key"), col("url_a").as("src"), col("url_b").as("dst")),
         "block_key"))
+    }
+    t("entities.cc_exchange_only") {
+      // floor: the same scan + exchange without the typed union-find kernel
+      val matched = Queries.scoredFor(spark, sfDir).filter(col("is_match"))
+      noop(matched.select(col("block_key"), col("url_a").as("src"), col("url_b").as("dst"))
+        .repartition(col("block_key")))
     }
     t("entities.join_no_parse") {
       val prepared = Queries.preparedFor(spark, sfDir)
@@ -282,6 +372,20 @@ object BenchExtra {
       try noop(SparkEntry.queries("q_agg_lineitem")(spark, sfDir))
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
     }
+    t("agg_lineitem.manual_twolevel") {
+      // A/B: pre-aggregate by (flag, status, orderkey) then combine — no
+      // Expand row-doubling, one exchange with map-side partial aggregation
+      noop(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus", "l_orderkey").agg(
+          sum("l_quantity").as("qty_o"), count(lit(1)).as("n_o"),
+          sum("l_discount").as("disc_o"))
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          sum("qty_o").as("sum_qty"),
+          sum("n_o").as("n"),
+          count(lit(1)).as("n_orders"),
+          round(sum("disc_o") / sum("n_o"), 4).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus"))
+    }
     t("agg_lineitem.no_distinct") {
       noop(spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus").agg(
@@ -290,6 +394,16 @@ object BenchExtra {
     }
     t("scored_pairs.full") { noop(SparkEntry.queries("q_scored_pairs")(spark, sfDir)) }
     t("topk_window.full") { noop(SparkEntry.queries("q_topk_window")(spark, sfDir)) }
+    t("topk_window.sortedOnce") {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      noop(graft.operators.Dedup.trackPersist(
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rk")))
+        .orderBy("o_custkey", "rk"))
+    }
 
     spark.stop()
   }

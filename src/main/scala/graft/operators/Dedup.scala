@@ -326,14 +326,21 @@ object Dedup {
   }
 
   /** Candidate generation + Hamming verification over prepared band rows
-    * (the shared tail of the full and incremental SimHash operators). */
+    * (the shared tail of the full and incremental SimHash operators).
+    *
+    * The Hamming filter runs BEFORE the pair dropDuplicates: hamming is a
+    * pure function of the pair (every band collision of (id_a, id_b) carries
+    * the same two sim values), so the two orders are row-identical — and
+    * filtering first means the dedup exchange shuffles only the matching
+    * pairs instead of every banded collision (at corpus scale the collision
+    * set is the dominant relation here; measured 1.19 → 0.93 s at sf0.1). */
   private[graft] def simhashPairsFromBanded(banded: DataFrame, maxHamming: Int,
                                             maxBucket: Int): DataFrame =
     Blocking.saltedSelfJoin(banded, Seq("band", "bucket"), "id", Seq("sim"), maxBucket)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
 
   /** SimHash near-dup pairs: block on 16-bit prefix bands (4 bands ⇒ any pair
     * within Hamming distance 3 shares at least one identical band), verify
