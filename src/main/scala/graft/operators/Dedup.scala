@@ -66,9 +66,18 @@ object Dedup {
     * the cluster's default parallelism before computing signatures; the
     * shuffle moves only (id, text) and is trivially repaid. (Unconditional —
     * checking `rdd.getNumPartitions` first would instantiate the physical
-    * plan twice.) */
+    * plan twice.)
+    *
+    * HASH partitioning on the unique id, not keyless round-robin: a keyless
+    * `repartition(n)` first locally SORTS its input rows so retried map
+    * tasks reproduce the same row-to-partition assignment
+    * (`spark.sql.execution.sortBeforeRepartition`, SPARK-23207) — a
+    * payload-row sort per task that at corpus scale is pure overhead.
+    * Hashing the id is deterministic without any sort, and ids are unique
+    * by contract, so the spread is collision-uniform. Every caller
+    * pre-projects to (`id`, payload). */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
 
   // ------------------------------ exact ------------------------------------
 
